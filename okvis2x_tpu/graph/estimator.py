@@ -1,0 +1,655 @@
+"""Sliding-window VIO estimator.
+
+Host-side graph orchestration over the device solver — the round-1 core of
+the reference's `ViSlamBackend`/`ViGraph` (okvis_ceres/src/ViSlamBackend.cpp:
+175 `addStates`, :555 `applyStrategy`, :811 `optimiseRealtimeGraph`).
+
+Design split (TPU-first):
+  * graph *structure* (which frames/landmarks/observations exist, window
+    policy, marginalisation) lives on the host as plain numpy arrays +
+    python dicts — cheap, dynamic, no recompiles;
+  * all *numerics* (IMU preintegration, linearisation, Schur solve, state
+    retraction) run as a handful of fixed-shape jitted programs; the problem
+    is padded to static capacities so one compiled executable serves every
+    frame.
+
+Window policy (mirrors the reference's applyStrategy semantics):
+  * the newest `num_imu_frames` frames are always kept;
+  * older frames that are not keyframes are eliminated by IMU-chain merge
+    (`eliminateStateByImuMerge`): their IMU spans are concatenated and
+    re-preintegrated, their observations dropped;
+  * keyframes beyond `num_keyframes` are eliminated; their co-observation
+    information is summarised into a relative-pose edge against the most
+    covisible surviving keyframe (TwoPoseGraphError-style marginalisation,
+    okvis_ceres/src/TwoPoseGraphError.cpp:162) and their poses removed;
+  * landmarks without remaining observations are deleted.
+
+Bias handling: preintegrations are *recomputed* (batched, one vmap'd scan)
+at the current bias estimate before every optimisation — strictly better
+than the reference's first-order correction + occasional redo, and cheap on
+TPU where the scan is a single fused program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.factors import imu_factor
+from okvis2x_tpu.imu import preintegration as pre
+from okvis2x_tpu.solver import gauss_newton as gn
+from okvis2x_tpu.solver import problem as prb
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    num_keyframes: int = 5
+    num_imu_frames: int = 3
+    cap_frames: int = 12
+    cap_landmarks: int = 768
+    cap_obs: int = 6144
+    cap_imu_links: int = 11
+    cap_imu_samples: int = 512
+    cap_rel_edges: int = 16
+    keypoint_sigma_px: float = 0.8
+    max_iterations: int = 10
+    imu: pre.ImuParams = pre.ImuParams()
+    dtype: object = jnp.float64
+    # priors applied at initialisation (reference addStatesInitialise)
+    init_pos_sigma: float = 1e-4
+    init_yaw_sigma: float = 1e-4
+    init_rollpitch_sigma: float = 0.03
+    init_v_sigma: float = 0.1
+
+
+@dataclasses.dataclass
+class FrameState:
+    fid: int
+    timestamp: float
+    T_WS: np.ndarray  # (7,)
+    sb: np.ndarray  # (9,)
+    is_keyframe: bool = False
+    pose_fixed: bool = False
+    # marginalised keyframe kept as a frozen pose-graph anchor: its
+    # observations were converted to a two-pose edge, it carries no
+    # speed/bias estimate and no IMU links (≙ freezePosesUntil +
+    # convertToPoseGraphMst semantics)
+    pose_graph_frame: bool = False
+
+
+class SlidingWindowEstimator:
+    """Keyframe-based sliding-window visual-inertial estimator."""
+
+    def __init__(self, config: EstimatorConfig, cameras, T_SC: np.ndarray):
+        self.cfg = config
+        self.cams = gn.stack_cameras(cameras)
+        self.T_SC = np.asarray(T_SC, dtype=np.float64)  # (C, 7)
+        self.C = self.T_SC.shape[0]
+
+        self.frames: List[FrameState] = []
+        self._next_fid = 0
+        self._next_lid = 0
+
+        # landmark store: lid -> row index in dense arrays
+        self.lm_ids: List[int] = []
+        self.lm_index: Dict[int, int] = {}
+        self.hp_W = np.zeros((0, 4))
+        self.lm_quality = np.zeros((0,))
+
+        # observations as numpy columns
+        self.obs_fid = np.zeros((0,), np.int64)
+        self.obs_cam = np.zeros((0,), np.int64)
+        self.obs_lid = np.zeros((0,), np.int64)
+        self.obs_uv = np.zeros((0, 2))
+        self.obs_sigma = np.zeros((0,))
+
+        # IMU raw measurement buffer (host deque as growing arrays)
+        self.imu_t = np.zeros((0,))
+        self.imu_gyr = np.zeros((0, 3))
+        self.imu_acc = np.zeros((0, 3))
+
+        # relative-pose (pose-graph / marginalisation) edges between frame ids
+        self.rel_edges: List[dict] = []
+
+        # priors (on first state)
+        self.prior_fid: Optional[int] = None
+        self.prior_T: Optional[np.ndarray] = None
+        self.prior_sqrt_info: Optional[np.ndarray] = None
+        self.prior_sb: Optional[np.ndarray] = None
+        self.prior_sb_sqrt_info: Optional[np.ndarray] = None
+
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ imu
+    def add_imu_measurement(self, t: float, gyr, acc):
+        self.imu_t = np.append(self.imu_t, t)
+        self.imu_gyr = np.vstack([self.imu_gyr, np.asarray(gyr)[None]])
+        self.imu_acc = np.vstack([self.imu_acc, np.asarray(acc)[None]])
+
+    def _imu_span(self, t0: float, t1: float):
+        """Measurements covering [t0, t1] incl. one sample beyond each end."""
+        i0 = max(int(np.searchsorted(self.imu_t, t0, "right")) - 1, 0)
+        i1 = min(int(np.searchsorted(self.imu_t, t1, "left")) + 1, len(self.imu_t))
+        return i0, i1
+
+    def _trim_imu_buffer(self):
+        if not self.frames:
+            return
+        t_min = self.frames[0].timestamp - 0.5
+        keep = self.imu_t >= t_min
+        first = int(np.argmax(keep)) if keep.any() else len(self.imu_t)
+        first = max(first - 1, 0)
+        self.imu_t = self.imu_t[first:]
+        self.imu_gyr = self.imu_gyr[first:]
+        self.imu_acc = self.imu_acc[first:]
+
+    # ---------------------------------------------------------------- states
+    def add_state(self, timestamp: float) -> int:
+        """Create a new state at `timestamp`.
+
+        First call: gravity-aligned initialisation from accelerometer mean +
+        strong priors (reference ViGraph::addStatesInitialise).  Subsequent:
+        IMU propagation from the newest state (addStatesPropagate).
+        """
+        cfg = self.cfg
+        if not self.frames:
+            i0, i1 = self._imu_span(timestamp - 0.2, timestamp + 0.01)
+            acc_mean = self.imu_acc[i0:i1].mean(axis=0)
+            gyr_mean = self.imu_gyr[i0:i1].mean(axis=0)
+            T0 = np.asarray(
+                pre.init_pose_from_accel(
+                    jnp.asarray(acc_mean), jnp.asarray(gyr_mean)
+                )
+            )
+            sb0 = np.zeros(9)
+            sb0[3:6] = gyr_mean  # stationary assumption: gyro mean = bias
+            f = FrameState(self._next_fid, timestamp, T0, sb0, is_keyframe=True)
+            self.frames.append(f)
+            self._next_fid += 1
+            # priors
+            self.prior_fid = f.fid
+            self.prior_T = T0.copy()
+            si = np.zeros((6, 6))
+            si[0:3, 0:3] = np.eye(3) / cfg.init_pos_sigma
+            si[3, 3] = si[4, 4] = 1.0 / cfg.init_rollpitch_sigma
+            si[5, 5] = 1.0 / cfg.init_yaw_sigma
+            self.prior_sqrt_info = si
+            self.prior_sb = sb0.copy()
+            sbsi = np.diag(
+                [1.0 / cfg.init_v_sigma] * 3
+                + [1.0 / cfg.imu.sigma_bg] * 3
+                + [1.0 / cfg.imu.sigma_ba] * 3
+            )
+            self.prior_sb_sqrt_info = sbsi
+            return f.fid
+
+        last = self.frames[-1]
+        assert timestamp > last.timestamp, "states must be added in time order"
+        P = self._preintegrate_span(
+            last.timestamp, timestamp, last.sb[3:6], last.sb[6:9]
+        )
+        T1, v1 = pre.propagate_state(
+            cfg.imu,
+            P,
+            jnp.asarray(last.T_WS),
+            jnp.asarray(last.sb[0:3]),
+            jnp.asarray(last.sb[3:6]),
+            jnp.asarray(last.sb[6:9]),
+        )
+        sb1 = np.concatenate([np.asarray(v1), last.sb[3:9]])
+        f = FrameState(self._next_fid, timestamp, np.asarray(T1), sb1)
+        self.frames.append(f)
+        self._next_fid += 1
+        return f.fid
+
+    def _preintegrate_fn(self):
+        key = "preint"
+        if key not in self._jit_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(t, gyr, acc, mask, t0, t1, bg, ba):
+                batch = pre.ImuBatch(t=t, gyr=gyr, acc=acc, mask=mask)
+                return pre.preintegrate(cfg.imu, batch, t0, t1, bg, ba)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _preintegrate_span(self, t0, t1, bg, ba) -> pre.Preintegrated:
+        cfg = self.cfg
+        i0, i1 = self._imu_span(t0, t1)
+        n = i1 - i0
+        cap = cfg.cap_imu_samples
+        assert n <= cap, f"IMU span {n} exceeds capacity {cap}"
+        dt = np.float64
+        t = np.full((cap,), t1 + 1.0, dt)
+        gyr = np.zeros((cap, 3), dt)
+        acc = np.zeros((cap, 3), dt)
+        mask = np.zeros((cap,), bool)
+        t[:n] = self.imu_t[i0:i1]
+        gyr[:n] = self.imu_gyr[i0:i1]
+        acc[:n] = self.imu_acc[i0:i1]
+        mask[:n] = True
+        run = self._preintegrate_fn()
+        return run(
+            jnp.asarray(t), jnp.asarray(gyr), jnp.asarray(acc), jnp.asarray(mask),
+            jnp.asarray(float(t0)), jnp.asarray(float(t1)),
+            jnp.asarray(bg, dtype=dt), jnp.asarray(ba, dtype=dt),
+        )
+
+    # ------------------------------------------------------------- landmarks
+    def add_landmark(self, hp_W) -> int:
+        lid = self._next_lid
+        self._next_lid += 1
+        self.lm_index[lid] = len(self.lm_ids)
+        self.lm_ids.append(lid)
+        self.hp_W = np.vstack([self.hp_W, np.asarray(hp_W, np.float64)[None]])
+        self.lm_quality = np.append(self.lm_quality, 0.0)
+        return lid
+
+    def add_observation(self, fid: int, cam: int, lid: int, uv, sigma=None):
+        self.obs_fid = np.append(self.obs_fid, fid)
+        self.obs_cam = np.append(self.obs_cam, cam)
+        self.obs_lid = np.append(self.obs_lid, lid)
+        self.obs_uv = np.vstack([self.obs_uv, np.asarray(uv, np.float64)[None]])
+        self.obs_sigma = np.append(
+            self.obs_sigma, self.cfg.keypoint_sigma_px if sigma is None else sigma
+        )
+
+    def set_keyframe(self, fid: int, is_kf: bool = True):
+        self._frame_by_id(fid).is_keyframe = is_kf
+
+    def _frame_by_id(self, fid: int) -> FrameState:
+        for f in self.frames:
+            if f.fid == fid:
+                return f
+        raise KeyError(fid)
+
+    # ------------------------------------------------------------- optimise
+    def _build_problem(self):
+        cfg = self.cfg
+        dtype = cfg.dtype
+        K, L, C = cfg.cap_frames, cfg.cap_landmarks, self.C
+        Ncap, Mcap = cfg.cap_obs, cfg.cap_imu_links
+        nf = len(self.frames)
+        assert nf <= K, f"{nf} frames exceed capacity {K}"
+        nl = len(self.lm_ids)
+        assert nl <= L, f"{nl} landmarks exceed capacity {L}"
+
+        fid2slot = {f.fid: i for i, f in enumerate(self.frames)}
+
+        p = prb.empty_problem(K=K, L=L, C=C, N=Ncap, M=Mcap,
+                              R=cfg.cap_rel_edges, dtype=dtype)
+
+        T_WS = np.stack([f.T_WS for f in self.frames]) if nf else np.zeros((0, 7))
+        sb = np.stack([f.sb for f in self.frames]) if nf else np.zeros((0, 9))
+        frame_valid = np.zeros(K, bool)
+        frame_valid[:nf] = True
+        pose_fixed = np.zeros(K, bool)
+        pose_fixed[:nf] = [
+            f.pose_fixed or f.pose_graph_frame for f in self.frames
+        ]
+        # speed/bias only estimable for IMU-chained (non-pose-graph) frames
+        sb_fixed = np.ones(K, bool)
+        sb_fixed[:nf] = [f.pose_graph_frame for f in self.frames]
+
+        # observations: keep only those whose frame & landmark are active
+        live = np.array(
+            [
+                (f in fid2slot) and (l in self.lm_index)
+                for f, l in zip(self.obs_fid, self.obs_lid)
+            ],
+            dtype=bool,
+        ) if len(self.obs_fid) else np.zeros((0,), bool)
+        of = self.obs_fid[live]
+        n_obs = len(of)
+        assert n_obs <= Ncap, f"{n_obs} observations exceed capacity {Ncap}"
+        obs_frame = np.zeros(Ncap, np.int32)
+        obs_cam = np.zeros(Ncap, np.int32)
+        obs_lm = np.zeros(Ncap, np.int32)
+        obs_uv = np.zeros((Ncap, 2))
+        obs_si = np.ones(Ncap)
+        obs_valid = np.zeros(Ncap, bool)
+        obs_frame[:n_obs] = [fid2slot[f] for f in of]
+        obs_cam[:n_obs] = self.obs_cam[live]
+        obs_lm[:n_obs] = [self.lm_index[l] for l in self.obs_lid[live]]
+        obs_uv[:n_obs] = self.obs_uv[live]
+        obs_si[:n_obs] = 1.0 / self.obs_sigma[live]
+        obs_valid[:n_obs] = True
+
+        # imu links between consecutive IMU-chained frames (recomputed at
+        # the current bias; pose-graph frames are excluded — their kinematic
+        # information lives in the two-pose edges)
+        chain = [
+            i for i, f in enumerate(self.frames) if not f.pose_graph_frame
+        ]
+        pres = []
+        sqinfos = []
+        imu_i = np.zeros(Mcap, np.int32)
+        imu_j = np.zeros(Mcap, np.int32)
+        imu_valid = np.zeros(Mcap, bool)
+        m = 0
+        for ia, ib in zip(chain[:-1], chain[1:]):
+            a, b = self.frames[ia], self.frames[ib]
+            assert m < Mcap
+            P = self._preintegrate_span(a.timestamp, b.timestamp, a.sb[3:6], a.sb[6:9])
+            W = imu_factor.sqrt_information(P.P)
+            pres.append(P)
+            sqinfos.append(np.asarray(W))
+            imu_i[m] = ia
+            imu_j[m] = ib
+            imu_valid[m] = True
+            m += 1
+        n_links = m
+
+        pre_batched = p.imu_pre
+        if pres:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+            pre_batched = jax.tree.map(
+                lambda full, part: full.at[:n_links].set(part.astype(full.dtype)),
+                p.imu_pre,
+                stacked,
+            )
+        imu_sqrt_info = np.tile(np.eye(15), (Mcap, 1, 1))
+        if sqinfos:
+            imu_sqrt_info[:n_links] = np.stack(sqinfos)
+
+        # landmarks
+        hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
+        hp[:nl] = self.hp_W
+        lm_valid = np.zeros(L, bool)
+        lm_valid[:nl] = True
+
+        # priors
+        pose_prior_T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
+        pose_prior_si = np.tile(np.eye(6), (K, 1, 1))
+        pose_prior_valid = np.zeros(K, bool)
+        sb_prior = np.zeros((K, 9))
+        sb_prior_si = np.tile(np.eye(9), (K, 1, 1))
+        sb_prior_valid = np.zeros(K, bool)
+        if self.prior_fid is not None and self.prior_fid in fid2slot:
+            s = fid2slot[self.prior_fid]
+            pose_prior_T[s] = self.prior_T
+            pose_prior_si[s] = self.prior_sqrt_info
+            pose_prior_valid[s] = True
+            sb_prior[s] = self.prior_sb
+            sb_prior_si[s] = self.prior_sb_sqrt_info
+            sb_prior_valid[s] = True
+
+        # relative pose edges (weakest dropped beyond capacity)
+        Rcap = cfg.cap_rel_edges
+        if len(self.rel_edges) > Rcap:
+            self.rel_edges.sort(
+                key=lambda e: -float(np.trace(e["sqrt_info"]))
+            )
+            self.rel_edges = self.rel_edges[:Rcap]
+        rel_i = np.zeros(Rcap, np.int32)
+        rel_j = np.zeros(Rcap, np.int32)
+        rel_T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (Rcap, 1))
+        rel_si = np.tile(np.eye(6), (Rcap, 1, 1))
+        rel_valid = np.zeros(Rcap, bool)
+        nrel = 0
+        for e in self.rel_edges:
+            if e["i"] in fid2slot and e["j"] in fid2slot:
+                rel_i[nrel] = fid2slot[e["i"]]
+                rel_j[nrel] = fid2slot[e["j"]]
+                rel_T[nrel] = e["T_ij"]
+                rel_si[nrel] = e["sqrt_info"]
+                rel_valid[nrel] = True
+                nrel += 1
+
+        cvt = lambda x: jnp.asarray(x, dtype=dtype)
+        p = p._replace(
+            T_WS=p.T_WS.at[:nf].set(cvt(T_WS)),
+            sb=p.sb.at[:nf].set(cvt(sb)),
+            frame_valid=jnp.asarray(frame_valid),
+            pose_fixed=jnp.asarray(pose_fixed),
+            sb_fixed=jnp.asarray(sb_fixed),
+            T_SC=cvt(self.T_SC),
+            hp_W=cvt(hp),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_frame=jnp.asarray(obs_frame),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_lm=jnp.asarray(obs_lm),
+            obs_uv=cvt(obs_uv),
+            obs_sqrt_info=cvt(obs_si),
+            obs_valid=jnp.asarray(obs_valid),
+            imu_i=jnp.asarray(imu_i),
+            imu_j=jnp.asarray(imu_j),
+            imu_pre=pre_batched,
+            imu_sqrt_info=cvt(imu_sqrt_info),
+            imu_valid=jnp.asarray(imu_valid),
+            pose_prior_T=cvt(pose_prior_T),
+            pose_prior_sqrt_info=cvt(pose_prior_si),
+            pose_prior_valid=jnp.asarray(pose_prior_valid),
+            sb_prior=cvt(sb_prior),
+            sb_prior_sqrt_info=cvt(sb_prior_si),
+            sb_prior_valid=jnp.asarray(sb_prior_valid),
+            rel_i=jnp.asarray(rel_i),
+            rel_j=jnp.asarray(rel_j),
+            rel_T=cvt(rel_T),
+            rel_sqrt_info=cvt(rel_si),
+            rel_valid=jnp.asarray(rel_valid),
+        )
+        return p, fid2slot
+
+    def _optimize_fn(self, rcap: int, iters: int, pose_only: bool):
+        key = ("opt", rcap, iters, pose_only)
+        if key not in self._jit_cache:
+            cfg = gn.SolverConfig(
+                max_iterations=iters,
+                imu_params=self.cfg.imu,
+                estimate_landmarks=not pose_only,
+            )
+            self._jit_cache[key] = jax.jit(
+                lambda p, cams: gn.optimize(p, cams, cfg)
+            )
+        return self._jit_cache[key]
+
+    def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
+        """Run the window solver and write results back to host state."""
+        iters = iterations or self.cfg.max_iterations
+        p, fid2slot = self._build_problem()
+        run = self._optimize_fn(int(p.rel_valid.shape[0]), iters, pose_only)
+        p_opt, cost = run(p, self.cams)
+        T = np.asarray(p_opt.T_WS)
+        sb = np.asarray(p_opt.sb)
+        for f, slot in fid2slot.items():
+            fr = self._frame_by_id(f)
+            fr.T_WS = T[slot]
+            fr.sb = sb[slot]
+        hp = np.asarray(p_opt.hp_W)
+        nl = len(self.lm_ids)
+        self.hp_W = hp[:nl]
+        return float(cost)
+
+    # -------------------------------------------------------- marginalisation
+    def covisibilities(self, fid: int) -> Dict[int, int]:
+        """Count shared landmarks with every other frame (reference
+        ViGraph::computeCovisibilities)."""
+        mask = self.obs_fid == fid
+        lms = set(self.obs_lid[mask].tolist())
+        out: Dict[int, int] = {}
+        for f in self.frames:
+            if f.fid == fid:
+                continue
+            m2 = self.obs_fid == f.fid
+            out[f.fid] = len(lms & set(self.obs_lid[m2].tolist()))
+        return out
+
+    def _drop_frame(self, fid: int, drop_obs: bool = True):
+        idx = next(i for i, f in enumerate(self.frames) if f.fid == fid)
+        self.frames.pop(idx)
+        if drop_obs:
+            keep = self.obs_fid != fid
+            self.obs_fid = self.obs_fid[keep]
+            self.obs_cam = self.obs_cam[keep]
+            self.obs_lid = self.obs_lid[keep]
+            self.obs_uv = self.obs_uv[keep]
+            self.obs_sigma = self.obs_sigma[keep]
+
+    def _prune_landmarks(self):
+        """Remove landmarks with no remaining observations."""
+        seen = set(self.obs_lid.tolist())
+        keep_rows = [i for i, lid in enumerate(self.lm_ids) if lid in seen]
+        self.lm_ids = [self.lm_ids[i] for i in keep_rows]
+        self.hp_W = self.hp_W[keep_rows]
+        self.lm_quality = self.lm_quality[keep_rows]
+        self.lm_index = {lid: i for i, lid in enumerate(self.lm_ids)}
+
+    def marginalise(self):
+        """Apply the window policy (reference applyStrategy,
+        ViSlamBackend.cpp:555):
+          1. drop surplus old non-keyframes (IMU-chain merge: links are
+             rebuilt over the merged span at the next optimisation);
+          2. convert surplus keyframes into frozen pose-graph frames with a
+             two-pose edge (≙ convertToPoseGraphMst + freezePosesUntil);
+          3. drop the oldest pose-graph frames beyond frame capacity;
+          4. prune landmarks without observations.
+        """
+        cfg = self.cfg
+        # 1. eliminate surplus non-keyframes among the old frames
+        while True:
+            old = self.frames[: -cfg.num_imu_frames] if cfg.num_imu_frames else self.frames
+            candidates = [
+                f for f in old if not f.is_keyframe and not f.pose_graph_frame
+            ]
+            if not candidates:
+                break
+            self._drop_frame(candidates[0].fid)
+
+        # 2. convert surplus keyframes to pose-graph frames
+        while True:
+            kfs = [
+                f
+                for f in self.frames[: -cfg.num_imu_frames]
+                if f.is_keyframe and not f.pose_graph_frame
+            ]
+            if len(kfs) <= cfg.num_keyframes:
+                break
+            self._marginalise_keyframe(kfs[0])
+
+        # 3. cap total frames: drop oldest pose-graph frames
+        while len(self.frames) > cfg.cap_frames - 1:
+            pg = [f for f in self.frames if f.pose_graph_frame]
+            if not pg:
+                break
+            victim = pg[0]
+            self._drop_frame(victim.fid)
+            self.rel_edges = [
+                e for e in self.rel_edges
+                if e["i"] != victim.fid and e["j"] != victim.fid
+            ]
+
+        self._prune_landmarks()
+        self._trim_imu_buffer()
+
+    def _two_pose_edge_fn(self, ncap: int, lcap: int):
+        key = ("tpe", ncap, lcap)
+        if key not in self._jit_cache:
+            from okvis2x_tpu.graph.marginalization import two_pose_edge
+
+            self._jit_cache[key] = jax.jit(
+                lambda *a: two_pose_edge(self.cams, *a)
+            )
+        return self._jit_cache[key]
+
+    def _compute_two_pose_edge(self, victim: FrameState, target: FrameState):
+        """TwoPoseGraphError-style edge from the co-observed reprojection
+        system (graph/marginalization.py)."""
+        cfg = self.cfg
+        dtype = cfg.dtype
+        va = self.obs_fid == victim.fid
+        vb = self.obs_fid == target.fid
+        shared = set(self.obs_lid[va]) & set(self.obs_lid[vb])
+        shared = [l for l in shared if l in self.lm_index]
+        if not shared:
+            return None
+        lrow = {l: i for i, l in enumerate(shared)}
+        sel = np.nonzero((va | vb) & np.isin(self.obs_lid, list(shared)))[0]
+
+        ncap = 256
+        lcap = 128
+        while ncap < len(sel):
+            ncap *= 2
+        while lcap < len(shared):
+            lcap *= 2
+
+        hp = np.tile(np.array([0, 0, 0, 1.0]), (lcap, 1))
+        hp[: len(shared)] = self.hp_W[[self.lm_index[l] for l in shared]]
+        lm_mask = np.zeros(lcap, bool)
+        lm_mask[: len(shared)] = True
+
+        n = len(sel)
+        obs_pose = np.zeros(ncap, np.int32)
+        obs_cam = np.zeros(ncap, np.int32)
+        obs_lm = np.zeros(ncap, np.int32)
+        obs_uv = np.zeros((ncap, 2))
+        obs_si = np.ones(ncap)
+        obs_mask = np.zeros(ncap, bool)
+        obs_pose[:n] = (self.obs_fid[sel] == target.fid).astype(np.int32)
+        obs_cam[:n] = self.obs_cam[sel]
+        obs_lm[:n] = [lrow[l] for l in self.obs_lid[sel]]
+        obs_uv[:n] = self.obs_uv[sel]
+        obs_si[:n] = 1.0 / self.obs_sigma[sel]
+        obs_mask[:n] = True
+
+        run = self._two_pose_edge_fn(ncap, lcap)
+        cvt = lambda x: jnp.asarray(x, dtype)
+        T_ab, sqrt_info, strength = run(
+            cvt(victim.T_WS), cvt(target.T_WS), cvt(self.T_SC),
+            cvt(hp), jnp.asarray(lm_mask),
+            jnp.asarray(obs_pose), jnp.asarray(obs_cam), jnp.asarray(obs_lm),
+            cvt(obs_uv), cvt(obs_si), jnp.asarray(obs_mask),
+        )
+        if not np.isfinite(float(strength)) or float(strength) < 1e-3:
+            return None
+        return dict(
+            i=victim.fid, j=target.fid,
+            T_ij=np.asarray(T_ab), sqrt_info=np.asarray(sqrt_info),
+        )
+
+    def _marginalise_keyframe(self, victim: FrameState):
+        """Summarise the keyframe into a relative-pose edge against its most
+        covisible surviving keyframe (≙ convertToPoseGraphMst creating
+        TwoPoseGraphError edges) and drop it."""
+        cov = self.covisibilities(victim.fid)
+        kf_cov = [
+            (n, f)
+            for f in self.frames
+            if f.is_keyframe and f.fid != victim.fid
+            for n in [cov.get(f.fid, 0)]
+        ]
+        if kf_cov:
+            n_best, target = max(kf_cov, key=lambda x: x[0])
+            if n_best >= 3:
+                edge = self._compute_two_pose_edge(victim, target)
+                if edge is not None:
+                    self.rel_edges.append(edge)
+        # keep the frame as a frozen pose-graph anchor; its observations
+        # are summarised in the edge, so they leave the active problem
+        victim.pose_graph_frame = True
+        keep = self.obs_fid != victim.fid
+        self.obs_fid = self.obs_fid[keep]
+        self.obs_cam = self.obs_cam[keep]
+        self.obs_lid = self.obs_lid[keep]
+        self.obs_uv = self.obs_uv[keep]
+        self.obs_sigma = self.obs_sigma[keep]
+        # edges touching the victim die with it (round 1; pose-graph module
+        # will keep them in the background graph instead)
+        self.rel_edges = [
+            e for e in self.rel_edges
+            if e["i"] != victim.fid and e["j"] != victim.fid
+        ]
+
+    # ------------------------------------------------------------- outputs
+    def get_state(self, fid: Optional[int] = None) -> FrameState:
+        return self.frames[-1] if fid is None else self._frame_by_id(fid)
+
+    def trajectory(self):
+        return {f.fid: (f.timestamp, f.T_WS.copy()) for f in self.frames}

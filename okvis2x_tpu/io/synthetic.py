@@ -1,0 +1,177 @@
+"""Synthetic EuRoC-format dataset generator.
+
+The environment has no network access and no real datasets, so end-to-end
+validation renders its own: a 3-D "dot field" scene splatted into images
+along an analytic trajectory with analytic IMU, written in EuRoC ASL layout
+(mav0/cam{0,1}/data.csv + PNGs, imu0/data.csv, ground-truth csv) so the
+EurocDataset reader and the full pipeline are exercised exactly as they
+would be on MH_01.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from okvis2x_tpu.core import se3
+import jax.numpy as jnp
+
+
+def analytic_trajectory(t, g=9.81007):
+    """Sinusoidal position + yaw; returns (p_W, q_WS[xyzw], v_W, omega_S,
+    f_S) at times t."""
+    t = np.asarray(t)
+    w1 = 2 * np.pi * 0.12
+    amp = np.array([1.2, 0.8, 0.3])
+    p = np.stack(
+        [amp[0] * np.sin(w1 * t), amp[1] * (1 - np.cos(w1 * t)), amp[2] * np.sin(2 * w1 * t)],
+        -1,
+    )
+    v = np.stack(
+        [amp[0] * w1 * np.cos(w1 * t), amp[1] * w1 * np.sin(w1 * t),
+         amp[2] * 2 * w1 * np.cos(2 * w1 * t)], -1
+    )
+    a = np.stack(
+        [-amp[0] * w1**2 * np.sin(w1 * t), amp[1] * w1**2 * np.cos(w1 * t),
+         -amp[2] * (2 * w1) ** 2 * np.sin(2 * w1 * t)], -1
+    )
+    yaw_rate = 0.15
+    yaw = yaw_rate * t
+    n = len(t)
+    q = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
+    C_WS = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+    g_W = np.array([0, 0, -g])
+    f_S = np.einsum("nji,nj->ni", C_WS, a - g_W)
+    omega_S = np.einsum("nji,j->ni", C_WS, np.array([0, 0, yaw_rate]))
+    return p, q, v, omega_S, f_S
+
+
+def make_scene(n_points=600, seed=3):
+    """Random bright dots in a box around/ahead of the trajectory."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-4, -3, 1.5], [5, 4, 7.0], (n_points, 3))
+    # camera optical axis is S-frame +z (identity-rotation extrinsics):
+    # keep points in front (z in 1.5..7)
+    brightness = rng.uniform(0.35, 1.0, n_points)
+    radius = rng.uniform(1.0, 2.2, n_points)
+    return pts, brightness, radius
+
+
+def render_image(cam, T_WC, pts, brightness, radius, noise=0.01, seed=0):
+    """Splat scene dots into an image (numpy; gaussian blobs + noise)."""
+    from okvis2x_tpu.cameras import pinhole
+
+    rng = np.random.default_rng(seed)
+    H, W = cam.height, cam.width
+    T_CW = se3.se3_inverse(jnp.asarray(T_WC))
+    p_C = np.asarray(se3.se3_apply(T_CW, jnp.asarray(pts)))
+    uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+    uv = np.asarray(uv)
+    valid = np.asarray(valid) & (p_C[:, 2] > 0.3)
+
+    img = rng.normal(0.12, noise, (H, W)).astype(np.float32)
+    r = 4  # splat half-window
+    for i in np.nonzero(valid)[0]:
+        x, y = uv[i]
+        cx, cy = int(round(x)), int(round(y))
+        if not (r <= cx < W - r and r <= cy < H - r):
+            continue
+        ys = np.arange(cy - r, cy + r + 1)
+        xs = np.arange(cx - r, cx + r + 1)
+        gy = np.exp(-0.5 * ((ys - y) / (radius[i] * 0.8)) ** 2)
+        gx = np.exp(-0.5 * ((xs - x) / (radius[i] * 0.8)) ** 2)
+        img[cy - r : cy + r + 1, cx - r : cx + r + 1] += (
+            brightness[i] * np.outer(gy, gx)
+        ).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def generate(
+    out_dir: str,
+    duration: float = 5.0,
+    frame_rate: float = 10.0,
+    imu_rate: float = 200.0,
+    width: int = 320,
+    height: int = 240,
+    baseline: float = 0.11,
+    imu_noise: bool = True,
+    n_points: int = 600,
+    seed: int = 3,
+):
+    """Write a synthetic stereo-inertial dataset; returns (cam_cfg dict,
+    T_SC (2,7), ground truth array [t, p, q])."""
+    from okvis2x_tpu.cameras import pinhole
+    from okvis2x_tpu.imu.preintegration import ImuParams
+    from PIL import Image
+
+    imu = ImuParams()
+    rng = np.random.default_rng(seed + 1)
+    cam = pinhole.make_pinhole(
+        fx=280.0, fy=280.0, cx=width / 2, cy=height / 2,
+        width=width, height=height, model="radtan",
+        dist_params=[-0.25, 0.06, 1e-4, -1e-4],
+    )
+    T_SC = np.array(
+        [[-baseline / 2, 0, 0, 0, 0, 0, 1.0], [baseline / 2, 0, 0, 0, 0, 0, 1.0]]
+    )
+
+    t0_ns = 1_400_000_000_000_000_000
+    root = os.path.join(out_dir, "mav0")
+    os.makedirs(root, exist_ok=True)
+
+    # IMU
+    t_imu = np.arange(0.0, duration, 1.0 / imu_rate)
+    _, _, _, omega_S, f_S = analytic_trajectory(t_imu, imu.g)
+    if imu_noise:
+        f_S = f_S + rng.normal(0, imu.sigma_a * np.sqrt(imu_rate), f_S.shape)
+        omega_S = omega_S + rng.normal(0, imu.sigma_g * np.sqrt(imu_rate), omega_S.shape)
+    os.makedirs(os.path.join(root, "imu0"), exist_ok=True)
+    with open(os.path.join(root, "imu0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for i, t in enumerate(t_imu):
+            ns = t0_ns + int(round(t * 1e9))
+            f.write(
+                f"{ns},{omega_S[i,0]},{omega_S[i,1]},{omega_S[i,2]},"
+                f"{f_S[i,0]},{f_S[i,1]},{f_S[i,2]}\n"
+            )
+
+    # scene + frames
+    pts, bright, radius = make_scene(n_points, seed)
+    t_frames = np.arange(0.3, duration, 1.0 / frame_rate)
+    p, q, v, _, _ = analytic_trajectory(t_frames, imu.g)
+    for c in range(2):
+        os.makedirs(os.path.join(root, f"cam{c}", "data"), exist_ok=True)
+        with open(os.path.join(root, f"cam{c}", "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i, t in enumerate(t_frames):
+                ns = t0_ns + int(round(t * 1e9))
+                T_WS = np.concatenate([p[i], q[i]])
+                T_WC = np.asarray(
+                    se3.se3_multiply(jnp.asarray(T_WS), jnp.asarray(T_SC[c]))
+                )
+                img = render_image(
+                    cam, T_WC, pts, bright, radius, seed=i * 2 + c
+                )
+                name = f"{ns}.png"
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(root, f"cam{c}", "data", name)
+                )
+                f.write(f"{ns},{name}\n")
+
+    # ground truth
+    os.makedirs(os.path.join(root, "state_groundtruth_estimate0"), exist_ok=True)
+    with open(
+        os.path.join(root, "state_groundtruth_estimate0", "data.csv"), "w"
+    ) as f:
+        f.write("#timestamp,px,py,pz,qw,qx,qy,qz,vx,vy,vz,bgx,bgy,bgz,bax,bay,baz\n")
+        for i, t in enumerate(t_frames):
+            ns = t0_ns + int(round(t * 1e9))
+            f.write(
+                f"{ns},{p[i,0]},{p[i,1]},{p[i,2]},"
+                f"{q[i,3]},{q[i,0]},{q[i,1]},{q[i,2]},"
+                f"{v[i,0]},{v[i,1]},{v[i,2]},0,0,0,0,0,0\n"
+            )
+    gt = np.concatenate([t_frames[:, None], p, q], axis=1)
+    return cam, T_SC, gt

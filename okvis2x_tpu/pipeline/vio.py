@@ -1,0 +1,459 @@
+"""Per-frame VIO pipeline: detection → matching → estimation → marginalisation.
+
+The synchronous core of the reference's `ThreadedSlam::processFrame`
+(okvis_multisensor_processing/src/ThreadedSlam.cpp:447, steps listed at
+:458-471) combined with `Frontend::dataAssociationAndInitialization`
+(okvis_frontend/src/Frontend.cpp:674-1145).  The reference overlaps stages
+with std::threads; here each stage is a separately-jitted device program and
+the host simply sequences them (async dispatch gives the overlap — SURVEY
+§7.1 "Pipeline = host async, not threads").
+
+Stages per frame (mirroring the reference step numbering):
+  1. add_state: IMU propagation to frame time (estimator)
+  2. detect & describe per camera (device, one jit per image shape)
+  3. match-to-map: project window landmarks, gated Hamming matching (MXU),
+     add observations (≙ Frontend::matchToMap)
+  4. pose-only optimisation + chi2 outlier rejection (≙ inline 2-it
+     optimisations + removeOutliers)
+  5. keyframe decision (matched-fraction heuristic ≙ doWeNeedANewKeyframe)
+  6. landmark initialisation by rig-stereo matching + triangulation
+     (≙ matchStereo) and motion-stereo vs the last keyframe
+     (≙ matchMotionStereo)
+  7. window optimisation + marginalisation (estimator)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.frontend import descriptor, detector, matcher, triangulation
+from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
+from okvis2x_tpu.cameras import pinhole
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    max_keypoints: int = 512
+    octaves: int = 2
+    detection_cell: int = 32
+    detection_per_cell: int = 8
+    harris_threshold: float = 1e-7
+    matching_threshold: float = 60.0
+    match_radius_px: float = 40.0
+    stereo_max_dist: float = 60.0
+    epipolar_px: float = 3.0
+    chi2_px: float = 3.0  # outlier gate in sigma-normalised px
+    keyframe_match_fraction: float = 0.55
+    min_triangulation_depth: float = 0.1
+    max_triangulation_depth: float = 50.0
+
+
+class FrameData:
+    """Per-frame detection results (host mirrors of device arrays)."""
+
+    def __init__(self, uv, score, level, valid, packed, pm1):
+        self.uv = uv  # (N,2) np
+        self.score = score
+        self.level = level
+        self.valid = valid
+        self.packed = packed
+        self.pm1 = pm1  # device (N, 384) bf16
+        self.lid = np.full(uv.shape[0], -1, np.int64)  # landmark assignment
+
+
+class VioPipeline:
+    def __init__(
+        self,
+        cameras,
+        T_SC: np.ndarray,
+        est_config: EstimatorConfig,
+        cfg: PipelineConfig = PipelineConfig(),
+    ):
+        self.cfg = cfg
+        self.cameras = cameras
+        self.T_SC = np.asarray(T_SC)
+        self.est = SlidingWindowEstimator(est_config, cameras, T_SC)
+        self.num_cams = len(cameras)
+        self.frames: Dict[int, List[FrameData]] = {}  # fid -> per-cam data
+        self.last_kf_fid: Optional[int] = None
+        self.lm_desc: Dict[int, np.ndarray] = {}  # lid -> packed descriptor
+        self._jit = {}
+        self.states_log = []  # (t, T_WS) after each frame
+
+    # ---------------------------------------------------------------- stages
+    def _detect_fn(self, shape):
+        key = ("detect", shape)
+        if key not in self._jit:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(img, angle):
+                kp = detector.detect(
+                    img,
+                    max_keypoints=cfg.max_keypoints,
+                    octaves=cfg.octaves,
+                    cell=cfg.detection_cell,
+                    per_cell=cfg.detection_per_cell,
+                    threshold=cfg.harris_threshold,
+                )
+                ang = jnp.full((cfg.max_keypoints,), angle, jnp.float32)
+                packed, pm1 = descriptor.extract(
+                    img, kp.uv, ang, kp.level, kp.valid
+                )
+                return kp, packed, pm1
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def detect_and_describe(self, images: List[np.ndarray], T_WS_pred: np.ndarray):
+        """Stage 2; returns list of FrameData. Extraction direction from
+        projected gravity (≙ Frontend::detectAndDescribe gravity alignment)."""
+        out = []
+        for c, img in enumerate(images):
+            # gravity direction in camera frame
+            T_WC = np.asarray(
+                se3.se3_multiply(jnp.asarray(T_WS_pred), jnp.asarray(self.T_SC[c]))
+            )
+            C_CW = np.asarray(se3.quat_to_matrix(jnp.asarray(T_WC[3:7]))).T
+            g_C = C_CW @ np.array([0.0, 0.0, -1.0])
+            ang = float(np.arctan2(g_C[1], g_C[0])) if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
+            run = self._detect_fn(img.shape)
+            kp, packed, pm1 = run(jnp.asarray(img), ang)
+            out.append(
+                FrameData(
+                    uv=np.asarray(kp.uv),
+                    score=np.asarray(kp.score),
+                    level=np.asarray(kp.level),
+                    valid=np.asarray(kp.valid),
+                    packed=np.asarray(packed),
+                    pm1=pm1,
+                )
+            )
+        return out
+
+    def _project_landmarks(self, cam_idx: int, T_WS: np.ndarray, hp: np.ndarray):
+        cam = self.cameras[cam_idx]
+        T_CW = se3.se3_multiply(
+            se3.se3_inverse(jnp.asarray(self.T_SC[cam_idx])),
+            se3.se3_inverse(jnp.asarray(T_WS)),
+        )
+        hp_C = se3.se3_apply_homogeneous(T_CW, jnp.asarray(hp))
+        uv, valid = pinhole.project_homogeneous(cam, hp_C)
+        return np.asarray(uv), np.asarray(valid)
+
+    def match_to_map(self, fid: int, frame_data: List[FrameData]):
+        """Stage 3 (≙ Frontend::matchToMap): gated Hamming matching of frame
+        keypoints against window landmarks; adds observations."""
+        est = self.est
+        cfg = self.cfg
+        nl = len(est.lm_ids)
+        if nl == 0:
+            return 0
+        hp = est.hp_W
+        lids = np.array(est.lm_ids)
+        # landmark descriptor matrix
+        packs = np.stack([self.lm_desc[l] for l in lids])
+        lm_pm1 = descriptor.unpack_pm1(
+            jnp.asarray(packs), jnp.ones(len(lids), bool)
+        )
+        T_WS = est.get_state(fid).T_WS
+        n_matched = 0
+        for c, fd in enumerate(frame_data):
+            uv_pred, vis = self._project_landmarks(c, T_WS, hp)
+            if not vis.any():
+                continue
+            # gating: keypoint within match_radius of predicted projection
+            d2 = (
+                (fd.uv[:, None, :] - uv_pred[None, :, :]) ** 2
+            ).sum(-1)
+            allowed = (
+                (d2 < cfg.match_radius_px**2)
+                & vis[None, :]
+                & fd.valid[:, None]
+            )
+            if not allowed.any():
+                continue
+            m = matcher.match_masked(
+                fd.pm1,
+                lm_pm1,
+                jnp.asarray(allowed),
+                max_dist=cfg.matching_threshold,
+            )
+            mv = np.asarray(m.valid)
+            mi = np.asarray(m.idx_b)
+            # one observation per landmark per camera: resolve dups by distance
+            md = np.asarray(m.dist)
+            order = np.argsort(md)
+            used_lm = set()
+            for k in order:
+                if not mv[k] or fd.lid[k] >= 0:
+                    continue
+                lrow = mi[k]
+                if lrow in used_lm:
+                    continue
+                used_lm.add(lrow)
+                lid = int(lids[lrow])
+                fd.lid[k] = lid
+                est.add_observation(fid, c, lid, fd.uv[k])
+                n_matched += 1
+        return n_matched
+
+    def reject_outliers(self, fid: int):
+        """Stage 4b (≙ Frontend::removeOutliers): drop observations of this
+        frame with reprojection error beyond the chi2 gate."""
+        est = self.est
+        cfg = self.cfg
+        f = est.get_state(fid)
+        mask = est.obs_fid == fid
+        if not mask.any():
+            return 0
+        idxs = np.nonzero(mask)[0]
+        bad = []
+        for c in range(self.num_cams):
+            sel = idxs[est.obs_cam[idxs] == c]
+            if len(sel) == 0:
+                continue
+            rows = np.array([est.lm_index[l] for l in est.obs_lid[sel]])
+            uv_pred, vis = self._project_landmarks(c, f.T_WS, est.hp_W[rows])
+            err = np.linalg.norm(uv_pred - est.obs_uv[sel], axis=-1)
+            gate = cfg.chi2_px * est.cfg.keypoint_sigma_px * 3
+            bad.extend(sel[(~vis) | (err > gate)].tolist())
+        if bad:
+            keep = np.ones(len(est.obs_fid), bool)
+            keep[bad] = False
+            est.obs_fid = est.obs_fid[keep]
+            est.obs_cam = est.obs_cam[keep]
+            est.obs_lid = est.obs_lid[keep]
+            est.obs_uv = est.obs_uv[keep]
+            est.obs_sigma = est.obs_sigma[keep]
+        return len(bad)
+
+    def stereo_initialize(self, fid: int, frame_data: List[FrameData]):
+        """Stage 6 (≙ Frontend::matchStereo): match unassigned keypoints
+        between camera pairs, triangulate, create landmarks."""
+        if self.num_cams < 2:
+            return 0
+        cfg = self.cfg
+        est = self.est
+        f = est.get_state(fid)
+        fd0, fd1 = frame_data[0], frame_data[1]
+        un0 = np.nonzero((fd0.lid < 0) & fd0.valid)[0]
+        un1 = np.nonzero((fd1.lid < 0) & fd1.valid)[0]
+        if len(un0) == 0 or len(un1) == 0:
+            return 0
+
+        # rays in each camera frame
+        cam0, cam1 = self.cameras[0], self.cameras[1]
+        r0, v0 = pinhole.back_project(cam0, jnp.asarray(fd0.uv[un0]))
+        r1, v1 = pinhole.back_project(cam1, jnp.asarray(fd1.uv[un1]))
+        T_C1C0 = se3.se3_multiply(
+            se3.se3_inverse(jnp.asarray(self.T_SC[1])), jnp.asarray(self.T_SC[0])
+        )
+        # epipolar gating via essential matrix in cam1 frame
+        R = np.asarray(se3.quat_to_matrix(se3.se3_q(T_C1C0)))
+        t = np.asarray(se3.se3_t(T_C1C0))
+        E = np.asarray(se3.cross_matrix(jnp.asarray(t))) @ R
+        x0 = np.asarray(r0)
+        x1 = np.asarray(r1)
+        lines = x0 @ E.T  # (n0, 3): epipolar line of each cam0 ray in cam1
+        # normalised point-line distance for each pair
+        num = np.abs(x1 @ lines.T)  # (n1, n0) | x1 . l |
+        denom = np.linalg.norm(lines[:, :2], axis=1)[None, :] + 1e-12
+        # convert angular distance to pixels approximately with fy
+        fpx = float(np.asarray(cam1.fxfycxcy)[1])
+        epi_px = num / denom * fpx
+        allowed = (
+            (epi_px < cfg.epipolar_px * 3)
+            & np.asarray(v1)[:, None]
+            & np.asarray(v0)[None, :]
+        )
+        if not allowed.any():
+            return 0
+        m = matcher.match_masked(
+            fd1.pm1[un1],
+            fd0.pm1[un0],
+            jnp.asarray(allowed),
+            max_dist=cfg.stereo_max_dist,
+        )
+        mv = np.asarray(m.valid)
+        mi = np.asarray(m.idx_b)
+
+        # triangulate all accepted pairs at once (batched midpoint)
+        created = 0
+        T_WC0 = jnp.asarray(
+            np.asarray(
+                se3.se3_multiply(jnp.asarray(f.T_WS), jnp.asarray(self.T_SC[0]))
+            )
+        )
+        p_B = np.asarray(se3.se3_t(se3.se3_inverse(T_C1C0)))  # cam1 centre in cam0
+        R_C0C1 = np.asarray(se3.quat_to_matrix(se3.se3_q(se3.se3_inverse(T_C1C0))))
+        keep = np.nonzero(mv)[0]
+        if len(keep) == 0:
+            return 0
+        k0rows = mi[keep]
+        e_A = x0[k0rows] / np.linalg.norm(x0[k0rows], axis=-1, keepdims=True)
+        eb = x1[keep] @ R_C0C1.T
+        e_B = eb / np.linalg.norm(eb, axis=-1, keepdims=True)
+        n = len(keep)
+        tri = triangulation.triangulate(
+            jnp.zeros((n, 3)), jnp.asarray(e_A),
+            jnp.broadcast_to(jnp.asarray(p_B), (n, 3)), jnp.asarray(e_B),
+        )
+        hp_C0 = np.asarray(tri.hp_A)
+        ok = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
+        depth = hp_C0[:, 2] / np.maximum(hp_C0[:, 3], 1e-12)
+        ok &= (depth > cfg.min_triangulation_depth) & (
+            depth < cfg.max_triangulation_depth
+        )
+        hp_W = np.asarray(
+            se3.se3_apply_homogeneous(T_WC0, jnp.asarray(hp_C0))
+        )
+        used0 = set()
+        for j in np.nonzero(ok)[0]:
+            k0row = int(k0rows[j])
+            if k0row in used0:
+                continue
+            used0.add(k0row)
+            i0 = un0[k0row]
+            i1 = un1[keep[j]]
+            lid = est.add_landmark(hp_W[j])
+            self.lm_desc[lid] = fd0.packed[i0]
+            fd0.lid[i0] = lid
+            fd1.lid[i1] = lid
+            est.add_observation(fid, 0, lid, fd0.uv[i0])
+            est.add_observation(fid, 1, lid, fd1.uv[i1])
+            created += 1
+        return created
+
+    def motion_stereo(self, fid: int, frame_data: List[FrameData]):
+        """Stage 6b (≙ Frontend::matchMotionStereo): match remaining
+        unassigned cam0 keypoints against the last keyframe's unassigned
+        keypoints and triangulate temporally."""
+        if self.last_kf_fid is None or self.last_kf_fid not in self.frames:
+            return 0
+        try:
+            fk = self.est.get_state(self.last_kf_fid)
+        except KeyError:
+            return 0
+        cfg = self.cfg
+        est = self.est
+        f = est.get_state(fid)
+        created = 0
+        for c in range(min(self.num_cams, 1)):  # cam0 only (cheap)
+            fd = frame_data[c]
+            kfd = self.frames[self.last_kf_fid][c]
+            un_c = np.nonzero((fd.lid < 0) & fd.valid)[0]
+            un_k = np.nonzero((kfd.lid < 0) & kfd.valid)[0]
+            if len(un_c) < 8 or len(un_k) < 8:
+                continue
+            m = matcher.match(
+                fd.pm1[un_c], kfd.pm1[un_k],
+                max_dist=cfg.stereo_max_dist, mutual=True,
+            )
+            mv = np.asarray(m.valid)
+            mi = np.asarray(m.idx_b)
+            cam = self.cameras[c]
+            T_WC = se3.se3_multiply(jnp.asarray(f.T_WS), jnp.asarray(self.T_SC[c]))
+            T_WCk = se3.se3_multiply(jnp.asarray(fk.T_WS), jnp.asarray(self.T_SC[c]))
+            T_CkC = se3.se3_multiply(se3.se3_inverse(T_WCk), T_WC)
+            R_k = np.asarray(se3.quat_to_matrix(se3.se3_q(T_CkC)))
+            p_B = np.asarray(se3.se3_t(T_CkC))
+            if np.linalg.norm(p_B) < 0.02:  # no baseline yet
+                continue
+            r_c = np.asarray(pinhole.back_project(cam, jnp.asarray(fd.uv[un_c]))[0])
+            v_c = np.asarray(pinhole.back_project(cam, jnp.asarray(fd.uv[un_c]))[1])
+            r_k, v_k = pinhole.back_project(cam, jnp.asarray(kfd.uv[un_k]))
+            r_k, v_k = np.asarray(r_k), np.asarray(v_k)
+            keep = np.nonzero(mv & v_c & v_k[mi])[0]
+            if len(keep) == 0:
+                continue
+            jks = mi[keep]
+            e_A = r_k[jks] / np.linalg.norm(r_k[jks], axis=-1, keepdims=True)
+            eb = r_c[keep] @ R_k.T
+            e_B = eb / np.linalg.norm(eb, axis=-1, keepdims=True)
+            n = len(keep)
+            tri = triangulation.triangulate(
+                jnp.zeros((n, 3)), jnp.asarray(e_A),
+                jnp.broadcast_to(jnp.asarray(p_B), (n, 3)), jnp.asarray(e_B),
+            )
+            hp_Ck = np.asarray(tri.hp_A)
+            ok = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
+            depth = hp_Ck[:, 2] / np.maximum(hp_Ck[:, 3], 1e-12)
+            ok &= (depth > cfg.min_triangulation_depth) & (
+                depth < cfg.max_triangulation_depth
+            )
+            hp_W = np.asarray(
+                se3.se3_apply_homogeneous(T_WCk, jnp.asarray(hp_Ck))
+            )
+            for j in np.nonzero(ok)[0]:
+                i_c = un_c[keep[j]]
+                i_k = un_k[jks[j]]
+                lid = est.add_landmark(hp_W[j])
+                self.lm_desc[lid] = kfd.packed[i_k]
+                fd.lid[i_c] = lid
+                kfd.lid[i_k] = lid
+                est.add_observation(self.last_kf_fid, c, lid, kfd.uv[i_k])
+                est.add_observation(fid, c, lid, fd.uv[i_c])
+                created += 1
+        return created
+
+    def need_keyframe(self, frame_data: List[FrameData]) -> bool:
+        """Stage 5 (≙ Frontend::doWeNeedANewKeyframe overlap heuristic):
+        keyframe when the matched fraction of valid keypoints drops."""
+        matched = sum(int((fd.lid >= 0).sum()) for fd in frame_data)
+        total = sum(int(fd.valid.sum()) for fd in frame_data)
+        if total == 0:
+            return True
+        return matched / total < self.cfg.keyframe_match_fraction
+
+    # ------------------------------------------------------------- main loop
+    def add_imu_measurement(self, t, gyr, acc):
+        self.est.add_imu_measurement(t, gyr, acc)
+
+    def process_frame(self, t: float, images: List[np.ndarray]):
+        est = self.est
+        fid = est.add_state(t)
+        f = est.get_state(fid)
+
+        frame_data = self.detect_and_describe(images, f.T_WS)
+        self.frames[fid] = frame_data
+
+        n_map = self.match_to_map(fid, frame_data)
+        if n_map >= 8:
+            est.optimise(iterations=3, pose_only=True)
+            self.reject_outliers(fid)
+
+        is_kf = self.need_keyframe(frame_data)
+        est.set_keyframe(fid, is_kf)
+
+        n_stereo = self.stereo_initialize(fid, frame_data)
+        n_motion = self.motion_stereo(fid, frame_data)
+
+        est.optimise()
+        # refresh landmark descriptors with the freshest observation
+        for fd in frame_data:
+            for k in np.nonzero(fd.lid >= 0)[0]:
+                self.lm_desc[fd.lid[k]] = fd.packed[k]
+
+        est.marginalise()
+        # drop per-frame data for dead frames
+        live = {fr.fid for fr in est.frames}
+        self.frames = {k: v for k, v in self.frames.items() if k in live}
+        self.lm_desc = {
+            l: d for l, d in self.lm_desc.items() if l in est.lm_index
+        }
+        if is_kf:
+            self.last_kf_fid = fid
+
+        f = est.get_state(fid)
+        self.states_log.append((t, f.T_WS.copy()))
+        return dict(
+            fid=fid, is_keyframe=is_kf, n_map=n_map,
+            n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),
+        )

@@ -1,0 +1,142 @@
+"""Synthetic full-estimator simulation.
+
+Mirrors okvis_ceres/test/TestEstimator.cpp: constant-velocity trajectory,
+noisy IMU at high rate, 3D landmark grid projected through the stereo rig to
+simulated keypoints; run add-state/observe/optimise/marginalise per frame and
+assert final pose error bounds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis2x_tpu.cameras import distortion as dist
+from okvis2x_tpu.cameras import pinhole
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
+from okvis2x_tpu.imu.preintegration import ImuParams
+
+RNG = np.random.default_rng(7)
+
+
+def make_rig():
+    cam = pinhole.make_pinhole(
+        fx=460.0, fy=460.0, cx=376.0, cy=240.0, width=752, height=480,
+        model=dist.RADTAN, dist_params=[-0.28, 0.07, 1e-4, 1e-5],
+    )
+    T_SC = np.array(
+        [[-0.055, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+         [0.055, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]]
+    )
+    return [cam, cam], T_SC
+
+
+def simulate(duration=4.0, frame_rate=10.0, imu_rate=200.0, imu_noise=True):
+    """Constant world velocity, slight yaw rate; returns dense IMU + frame
+    ground truth."""
+    imu = ImuParams()
+    v_W = np.array([0.4, 0.0, 0.05])
+    yaw_rate = 0.1
+    g_W = np.array([0, 0, -imu.g])
+
+    t_imu = np.arange(0.0, duration, 1.0 / imu_rate)
+    n = len(t_imu)
+    yaw = yaw_rate * t_imu
+    q = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
+    p = v_W[None] * t_imu[:, None]
+    C_WS = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+    f_S = np.einsum("nji,j->ni", C_WS, -g_W)  # zero accel, gravity only
+    w_S = np.einsum("nji,j->ni", C_WS, np.array([0, 0, yaw_rate]))
+    if imu_noise:
+        f_S = f_S + RNG.normal(0, imu.sigma_a * np.sqrt(imu_rate), (n, 3))
+        w_S = w_S + RNG.normal(0, imu.sigma_g * np.sqrt(imu_rate), (n, 3))
+
+    t_frames = np.arange(0.2, duration, 1.0 / frame_rate)
+    fq = np.stack(
+        [np.zeros_like(t_frames), np.zeros_like(t_frames),
+         np.sin(yaw_rate * t_frames / 2), np.cos(yaw_rate * t_frames / 2)], -1
+    )
+    fp = v_W[None] * t_frames[:, None]
+    T_WS_gt = np.concatenate([fp, fq], -1)
+    return dict(
+        t_imu=t_imu, gyr=w_S, acc=f_S, t_frames=t_frames, T_WS_gt=T_WS_gt,
+        v_W=v_W,
+    )
+
+
+def make_landmarks(n=160):
+    """Grid of landmarks along the trajectory corridor."""
+    x = RNG.uniform(-1.0, 4.0, n)
+    y = RNG.uniform(1.5, 4.0, n)  # in front (camera looks +y? no: +z)
+    z = RNG.uniform(-1.5, 1.5, n)
+    # cameras look along +z of S (identity extrinsic rotation): put points ahead in z
+    pts = np.stack([x, z, y], -1)
+    return pts
+
+
+@pytest.mark.slow
+def test_estimator_vio_bounded_error():
+    cams, T_SC = make_rig()
+    sim = simulate()
+    pts = make_landmarks()
+    cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=4, num_imu_frames=3,
+        cap_landmarks=256, cap_obs=2048, cap_imu_links=9,
+        max_iterations=5,
+    )
+    est = SlidingWindowEstimator(cfg, cams, T_SC)
+
+    # feed initial IMU for initialisation window
+    for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+        if t > sim["t_frames"][0] + 0.01:
+            break
+        est.add_imu_measurement(t, w, a)
+
+    cam = cams[0]
+    lid_by_pt = {}
+    errs = []
+    imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+
+    for k, tf in enumerate(sim["t_frames"]):
+        # stream IMU up to frame time
+        while imu_idx < len(sim["t_imu"]) and sim["t_imu"][imu_idx] <= tf + 0.005:
+            est.add_imu_measurement(
+                sim["t_imu"][imu_idx], sim["gyr"][imu_idx], sim["acc"][imu_idx]
+            )
+            imu_idx += 1
+
+        fid = est.add_state(tf)
+        T_WS_gt = sim["T_WS_gt"][k]
+
+        # simulate observations from ground truth pose
+        for c in range(2):
+            T_CW = se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(T_SC[c])),
+                se3.se3_inverse(jnp.asarray(T_WS_gt)),
+            )
+            p_C = np.asarray(jax.vmap(lambda pt: se3.se3_apply(T_CW, pt))(
+                jnp.asarray(pts)
+            ))
+            uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+            uv = np.asarray(uv)
+            valid = np.asarray(valid)
+            for i in np.nonzero(valid)[0][:40]:
+                if i not in lid_by_pt:
+                    # initialise landmark from (noisy) ground truth position
+                    hp = np.concatenate([pts[i] + RNG.normal(0, 0.05, 3), [1.0]])
+                    lid_by_pt[i] = est.add_landmark(hp)
+                est.add_observation(
+                    fid, c, lid_by_pt[i], uv[i] + RNG.normal(0, 0.5, 2)
+                )
+
+        est.set_keyframe(fid, k % 3 == 0)
+        est.optimise()
+        est.marginalise()
+
+        T_est = est.get_state().T_WS
+        errs.append(np.linalg.norm(T_est[:3] - T_WS_gt[:3]))
+
+    errs = np.array(errs)
+    assert errs[-1] < 0.1, errs
+    assert errs.max() < 0.2, errs

@@ -1,0 +1,191 @@
+"""IMU preintegration tests on a synthetic sinusoidal trajectory.
+
+Mirrors the reference's okvis_ceres/test/TestImuError.cpp scenario: generate
+an analytic trajectory, sample perfect IMU at high rate, check that
+preintegration + propagation reproduces the ground-truth end state, and that
+the factor residual at ground truth is ~0 with sensible whitening.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.factors import imu_factor
+from okvis2x_tpu.imu import preintegration as pre
+
+F64 = jnp.float64
+PARAMS = pre.ImuParams()
+
+
+def synth_trajectory(t):
+    """Analytic position + yaw trajectory; returns p_W(t), q_WS(t), v_W(t),
+    omega_S(t), a_W(t)."""
+    w_p = 2 * np.pi * 0.25
+    p = np.stack(
+        [np.sin(w_p * t), 2.0 * np.cos(w_p * t), 0.5 * np.sin(2 * w_p * t)], -1
+    )
+    v = np.stack(
+        [
+            w_p * np.cos(w_p * t),
+            -2.0 * w_p * np.sin(w_p * t),
+            1.0 * w_p * np.cos(2 * w_p * t),
+        ],
+        -1,
+    )
+    a = np.stack(
+        [
+            -w_p**2 * np.sin(w_p * t),
+            -2.0 * w_p**2 * np.cos(w_p * t),
+            -2.0 * w_p**2 * np.sin(2 * w_p * t),
+        ],
+        -1,
+    )
+    yaw_rate = 0.3
+    yaw = yaw_rate * t
+    return p, yaw, v, yaw_rate, a
+
+
+def make_batch(t0, t1, rate=1000.0, bg=np.zeros(3), ba=np.zeros(3)):
+    n = int((t1 - t0) * rate) + 1
+    t = np.linspace(t0, t1, n)
+    p, yaw, v, yaw_rate, a_W = synth_trajectory(t)
+    # orientation: pure yaw
+    q = np.stack(
+        [np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1
+    )
+    g_W = np.array([0.0, 0.0, -PARAMS.g])
+    # specific force in S: C_SW (a_W - g_W)
+    C_WS = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+    f_S = np.einsum("nji,nj->ni", C_WS, a_W - g_W)
+    omega_S = np.einsum(
+        "nji,j->ni", C_WS, np.array([0.0, 0.0, yaw_rate])
+    )
+    batch = pre.ImuBatch(
+        t=jnp.asarray(t, F64),
+        gyr=jnp.asarray(omega_S + bg, F64),
+        acc=jnp.asarray(f_S + ba, F64),
+        mask=jnp.ones(n, bool),
+    )
+    states = dict(p=p, q=q, v=v)
+    return batch, states
+
+
+def gt_state(states, i):
+    T = jnp.asarray(np.concatenate([states["p"][i], states["q"][i]]), F64)
+    v = jnp.asarray(states["v"][i], F64)
+    return T, v
+
+
+def test_propagation_matches_ground_truth():
+    batch, states = make_batch(0.0, 1.0)
+    P = pre.preintegrate(
+        PARAMS, batch, 0.0, 1.0, jnp.zeros(3, F64), jnp.zeros(3, F64)
+    )
+    T0, v0 = gt_state(states, 0)
+    T1_gt, v1_gt = gt_state(states, -1)
+    T1, v1 = pre.propagate_state(PARAMS, P, T0, v0, jnp.zeros(3, F64), jnp.zeros(3, F64))
+    np.testing.assert_allclose(T1[:3], T1_gt[:3], atol=2e-4)
+    np.testing.assert_allclose(v1, v1_gt, atol=2e-4)
+    # orientation error
+    dq = se3.quat_multiply(se3.quat_conjugate(se3.se3_q(T1_gt)), se3.se3_q(T1))
+    assert float(jnp.linalg.norm(se3.quat_log(dq))) < 1e-4
+
+
+def test_masked_padding_is_noop():
+    batch, states = make_batch(0.0, 0.5)
+    n = batch.t.shape[0]
+    pad = 200
+    batch_padded = pre.ImuBatch(
+        t=jnp.concatenate([batch.t, jnp.full((pad,), 99.0, F64)]),
+        gyr=jnp.concatenate([batch.gyr, jnp.full((pad, 3), 1e3, F64)]),
+        acc=jnp.concatenate([batch.acc, jnp.full((pad, 3), 1e3, F64)]),
+        mask=jnp.concatenate([batch.mask, jnp.zeros(pad, bool)]),
+    )
+    z = jnp.zeros(3, F64)
+    P1 = pre.preintegrate(PARAMS, batch, 0.0, 0.5, z, z)
+    P2 = pre.preintegrate(PARAMS, batch_padded, 0.0, 0.5, z, z)
+    np.testing.assert_allclose(P1.dp, P2.dp, atol=1e-12)
+    np.testing.assert_allclose(P1.dq, P2.dq, atol=1e-12)
+    np.testing.assert_allclose(P1.P, P2.P, atol=1e-12)
+
+
+def test_bias_jacobian_first_order():
+    """First-order bias correction must track a re-preintegration."""
+    z = jnp.zeros(3, F64)
+    db = jnp.array([0.003, -0.002, 0.001], F64)
+    batch, _ = make_batch(0.0, 0.8)
+    P0 = pre.preintegrate(PARAMS, batch, 0.0, 0.8, z, z)
+    Pg = pre.preintegrate(PARAMS, batch, 0.0, 0.8, db, z)
+    Pa = pre.preintegrate(PARAMS, batch, 0.0, 0.8, z, db)
+    # first-order prediction of the change
+    dp_pred = P0.dp + P0.dp_dbg @ (db)
+    np.testing.assert_allclose(dp_pred, Pg.dp, atol=5e-5)
+    dv_pred = P0.dv + P0.dv_dbg @ db
+    np.testing.assert_allclose(dv_pred, Pg.dv, atol=5e-5)
+    dp_pred_a = P0.dp + P0.dp_dba @ db
+    np.testing.assert_allclose(dp_pred_a, Pa.dp, atol=5e-5)
+    dq_pred = se3.quat_multiply(P0.dq, se3.delta_q(P0.dq_dbg @ db))
+    dqe = se3.quat_multiply(se3.quat_conjugate(Pg.dq), dq_pred)
+    assert float(jnp.linalg.norm(se3.quat_log(dqe))) < 5e-6
+
+
+def test_covariance_psd_and_scaling():
+    z = jnp.zeros(3, F64)
+    batch, _ = make_batch(0.0, 1.0, rate=200.0)
+    P = pre.preintegrate(PARAMS, batch, 0.0, 1.0, z, z)
+    ev = np.linalg.eigvalsh(np.asarray(P.P))
+    assert ev.min() > -1e-16
+    # rotational covariance over 1 s at rate 200: sigma_g^2 * 1s
+    np.testing.assert_allclose(
+        np.diag(np.asarray(P.P))[3:6], PARAMS.sigma_g**2, rtol=0.2
+    )
+
+
+def test_residual_zero_at_ground_truth():
+    batch, states = make_batch(0.0, 1.0)
+    z = jnp.zeros(3, F64)
+    P = pre.preintegrate(PARAMS, batch, 0.0, 1.0, z, z)
+    W = imu_factor.sqrt_information(P.P)
+    T0, v0 = gt_state(states, 0)
+    T1, v1 = gt_state(states, -1)
+    sb0 = jnp.concatenate([v0, z, z])
+    sb1 = jnp.concatenate([v1, z, z])
+    r = imu_factor.residual(PARAMS, P, W, T0, sb0, T1, sb1)
+    # whitened residual should be far below 1-sigma given perfect data
+    assert float(jnp.max(jnp.abs(r))) < 0.5
+
+
+def test_residual_jacobian_finite_diff():
+    batch, states = make_batch(0.0, 0.4, rate=400.0)
+    z = jnp.zeros(3, F64)
+    P = pre.preintegrate(PARAMS, batch, 0.0, 0.4, z, z)
+    W = imu_factor.sqrt_information(P.P)
+    T0, v0 = gt_state(states, 0)
+    T1, v1 = gt_state(states, -1)
+    sb0 = jnp.concatenate([v0, z, z]) + 0.01
+    sb1 = jnp.concatenate([v1, z, z]) - 0.01
+
+    def f(d0, dsb0, d1, dsb1):
+        return imu_factor.residual_on_manifold(
+            PARAMS, P, W, T0, sb0, T1, sb1, d0, dsb0, d1, dsb1
+        )
+
+    z6, z9 = jnp.zeros(6, F64), jnp.zeros(9, F64)
+    J = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
+    eps = 1e-6
+    for ai, dim in [(0, 6), (1, 9), (2, 6), (3, 9)]:
+        for i in range(dim):
+            args = [np.zeros(6), np.zeros(9), np.zeros(6), np.zeros(9)]
+            args[ai][i] = eps
+            rp = np.asarray(f(*[jnp.asarray(a) for a in args]))
+            args[ai][i] = -eps
+            rm = np.asarray(f(*[jnp.asarray(a) for a in args]))
+            num = (rp - rm) / (2 * eps)
+            col = np.asarray(J[ai])[:, i]
+            # tolerance scaled by the column magnitude: the whitening (sqrt
+            # information ~1e4-1e5 for sub-second perfect preintegration)
+            # amplifies finite-difference cancellation noise on the tiny
+            # cross-coupling entries
+            tol = 1e-5 * (1.0 + np.abs(col).max())
+            np.testing.assert_allclose(col, num, atol=tol)

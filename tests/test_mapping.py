@@ -1,0 +1,163 @@
+"""Occupancy submap + SubmapIcp factor tests (mirrors okvis_ceres/test/
+TestSubmapIcpError.cpp: Jacobian checks and optimisation against a synthetic
+occupancy submap; plus voxel-filter invariants from okvis_mapping/test/
+voxelGridTests.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.mapping import icp_factor, lidar
+from okvis2x_tpu.mapping import submap as sm_mod
+
+F32 = jnp.float32
+CFG = sm_mod.SubmapConfig(dim=64, res=0.2)
+RNG = np.random.default_rng(9)
+
+
+def make_wall_submap():
+    """Integrate rays hitting a plane at z = 2 m (sensor at origin)."""
+    sm = sm_mod.new_submap(np.array([0, 0, 0, 0, 0, 0, 1.0]), CFG)
+    xs = np.linspace(-3, 3, 40)
+    ys = np.linspace(-3, 3, 40)
+    gx, gy = np.meshgrid(xs, ys)
+    end = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 2.0)], -1)
+    for _ in range(3):  # a few passes to saturate log odds
+        sm = sm_mod.integrate_rays(
+            sm, CFG, jnp.zeros(3, F32), jnp.asarray(end, F32),
+            jnp.ones(len(end), bool), 0.05,
+        )
+    return sm
+
+
+def test_integration_marks_surface_and_free_space():
+    sm = make_wall_submap()
+    probe_occ = jnp.asarray([[0.0, 0.0, 2.0], [1.0, -1.0, 2.0]], F32)
+    probe_free = jnp.asarray([[0.0, 0.0, 1.0], [0.5, 0.5, 0.5]], F32)
+    occ, ok1 = sm_mod.interp_occupancy(sm, CFG, probe_occ)
+    free, ok2 = sm_mod.interp_occupancy(sm, CFG, probe_free)
+    assert bool(ok1.all()) and bool(ok2.all())
+    assert float(occ.min()) > 0.5
+    assert float(free.max()) < -0.1
+
+
+def test_out_of_map_is_zero():
+    sm = make_wall_submap()
+    far = jnp.asarray([[100.0, 0.0, 0.0]], F32)
+    occ, ok = sm_mod.interp_occupancy(sm, CFG, far)
+    grad, _ = sm_mod.grad_occupancy(sm, CFG, far)
+    assert not bool(ok[0])
+    assert float(occ[0]) == 0.0
+    assert float(jnp.abs(grad).max()) == 0.0
+
+
+def test_gradient_matches_finite_difference():
+    sm = make_wall_submap()
+    # probe strictly inside a voxel cell (trilinear gradients are only
+    # defined cell-wise; at cell boundaries they are one-sided)
+    p = jnp.asarray([[0.33, -0.41, 1.87]], F32)
+    grad, ok = sm_mod.grad_occupancy(sm, CFG, p)
+    eps = 1e-3
+    for ax in range(3):
+        d = np.zeros(3, np.float32)
+        d[ax] = eps
+        vp, _ = sm_mod.interp_occupancy(sm, CFG, p + d)
+        vm, _ = sm_mod.interp_occupancy(sm, CFG, p - d)
+        num = (float(vp[0]) - float(vm[0])) / (2 * eps)
+        np.testing.assert_allclose(float(grad[0, ax]), num, atol=2e-2)
+
+
+def test_icp_jacobian_finite_diff():
+    sm = make_wall_submap()
+    T_WA = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
+    T_WB = jnp.asarray([0.1, -0.05, 0.02, 0, 0, 0, 1.0], F32)
+    pts = jnp.asarray(
+        np.stack(
+            [RNG.uniform(-2, 2, 50), RNG.uniform(-2, 2, 50), np.full(50, 1.95)], -1
+        ),
+        F32,
+    )
+    valid = jnp.ones(50, bool)
+    r, Ja, Jb, use = icp_factor.linearize_icp(sm, CFG, T_WA, T_WB, pts, valid)
+    assert int(use.sum()) > 30
+    eps = 1e-3
+    for i in range(6):
+        d = np.zeros(6, np.float32)
+        d[i] = eps
+        rp, _ = icp_factor.icp_residuals(
+            sm, CFG, T_WA, se3.retract(T_WB, jnp.asarray(d)), pts, valid
+        )
+        rm, _ = icp_factor.icp_residuals(
+            sm, CFG, T_WA, se3.retract(T_WB, jnp.asarray(-d)), pts, valid
+        )
+        num = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
+        sel = np.asarray(use)
+        np.testing.assert_allclose(
+            np.asarray(Jb)[sel, i], num[sel], atol=0.1, rtol=0.15
+        )
+
+
+def test_icp_align_recovers_offset():
+    sm = make_wall_submap()
+    T_WA = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
+    # points measured from a pose offset in z: surface at z=2 seen at 2 - dz
+    dz_true = 0.15
+    pts = jnp.asarray(
+        np.stack(
+            [RNG.uniform(-2, 2, 200), RNG.uniform(-2, 2, 200),
+             np.full(200, 2.0 - dz_true)], -1
+        ),
+        F32,
+    )
+    T_WB0 = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
+    T, cost = icp_factor.icp_align(
+        sm, CFG, T_WA, T_WB0, pts, jnp.ones(200, bool), iterations=10
+    )
+    # optimal pose shifts points onto the surface: T_WB z ≈ +dz
+    assert abs(float(T[2]) - dz_true) < 0.05, np.asarray(T)
+
+
+def test_alignment_edge_informative():
+    sm = make_wall_submap()
+    T_WA = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
+    T_WB = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
+    pts = jnp.asarray(
+        np.stack(
+            [RNG.uniform(-2, 2, 150), RNG.uniform(-2, 2, 150), np.full(150, 2.0)], -1
+        ),
+        F32,
+    )
+    T_AB, sqrt_info, strength = icp_factor.make_alignment_edge(
+        sm, CFG, T_WA, T_WB, pts, jnp.ones(150, bool)
+    )
+    H = np.asarray(sqrt_info, np.float64)
+    H = H.T @ H
+    # wall constrains z translation strongly, x/y translation weakly
+    assert H[2, 2] > 100 * max(H[0, 0], H[1, 1], 1e-9)
+    assert float(strength) > 10.0
+
+
+def test_deskew_identity_when_static():
+    T = jnp.asarray([0.3, 0.1, -0.2, 0, 0, 0.1, 0.995], F32)
+    pts = jnp.asarray(RNG.uniform(-5, 5, (20, 3)), F32)
+    out = lidar.deskew(T, T, jnp.linspace(0, 1, 20), pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-4)
+
+
+def test_voxel_downsample():
+    pts = RNG.uniform(0, 1.0, (500, 3))
+    out = lidar.voxel_downsample(pts, voxel=0.25, max_per_voxel=1)
+    assert len(out) <= 4 * 4 * 4
+    keys = np.floor(out / 0.25).astype(int)
+    assert len(np.unique(keys, axis=0)) == len(out)
+
+
+def test_voxel_downsample_device():
+    pts = jnp.asarray(RNG.uniform(0, 1.0, (512, 3)), F32)
+    _, keep = lidar.voxel_downsample_device(pts, jnp.ones(512, bool), 0.25)
+    kept = np.asarray(pts)[np.asarray(keep)]
+    keys = np.floor(kept / 0.25).astype(int)
+    # no duplicates per voxel (collisions may over-thin, never duplicate)
+    assert len(np.unique(keys, axis=0)) == len(kept)
+    assert len(kept) > 10
