@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Synchronous dataset app: VIO / SLAM / depth-submapping on EuRoC-layout data.
+
+The counterpart of the reference's CLI binaries (okvis_apps/src/
+okvis_app_synchronous.cpp, okvis2x_app_synchronous.cpp): reads an
+okvis2.yaml-schema config + a EuRoC ASL dataset directory, runs the pipeline
+synchronously, writes TUM trajectories (online + final-BA), submap exports,
+and reports ATE against ground truth when available.
+
+Usage:
+  python apps/okvis2x_app.py --dataset /path/to/MH_01 \
+      [--config config.yaml] [--mode vio|slam|depth] [--output out/] \
+      [--max-frames N] [--synthetic-test]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=False, help="EuRoC dataset dir")
+    ap.add_argument("--config", default=None, help="okvis2.yaml config")
+    ap.add_argument("--mode", default="slam", choices=["vio", "slam", "depth"])
+    ap.add_argument("--output", default="out")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument(
+        "--synthetic-test", action="store_true",
+        help="generate a synthetic dataset into --output/synth and run on it",
+    )
+    ap.add_argument("--final-ba", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from okvis2x_tpu.graph import EstimatorConfig
+    from okvis2x_tpu.io import euroc, synthetic, trajectory_io
+    from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
+    from okvis2x_tpu.utils import timing
+
+    os.makedirs(args.output, exist_ok=True)
+
+    if args.synthetic_test:
+        ds_dir = os.path.join(args.output, "synth")
+        cam, T_SC, gt = synthetic.generate(ds_dir, duration=4.0)
+        cameras = [cam, cam]
+    else:
+        assert args.dataset, "--dataset required (or use --synthetic-test)"
+        ds_dir = args.dataset
+        assert args.config, "--config required for real datasets"
+        from okvis2x_tpu.io import config as cfg_mod
+
+        vi = cfg_mod.load(args.config)
+        cameras = [c.camera for c in vi.cameras[:2]]
+        T_SC = np.stack([c.T_SC for c in vi.cameras[:2]])
+        gt = None
+
+    ds = euroc.EurocDataset(ds_dir, num_cams=len(cameras))
+    if ds.ground_truth is not None:
+        gt = ds.ground_truth
+
+    est_cfg = EstimatorConfig()
+    pipe_cfg = PipelineConfig(
+        do_loop_closures=(args.mode != "vio"),
+    )
+    pipe = VioPipeline(cameras, T_SC, est_cfg, pipe_cfg)
+
+    submapper = None
+    if args.mode == "depth":
+        from okvis2x_tpu.pipeline.submapping import (
+            SubmappingConfig, SubmappingInterface,
+        )
+
+        submapper = SubmappingInterface(SubmappingConfig())
+
+    n = 0
+    t0 = time.time()
+    for kind, data in ds.events():
+        if kind == "imu":
+            pipe.add_imu_measurement(*data)
+            continue
+        if not data.paths[0]:
+            continue
+        images = [ds.load_image(p) for p in data.paths]
+        with timing.Timer("1 ProcessFrame"):
+            info = pipe.process_frame(data.t, images)
+        n += 1
+
+        if submapper is not None and info["is_keyframe"] and len(images) >= 2:
+            import jax.numpy as jnp
+
+            from okvis2x_tpu.core import se3
+            from okvis2x_tpu.models import stereo as stereo_mod
+
+            with timing.Timer("9 DepthAndIntegrate"):
+                fx = float(np.asarray(cameras[0].fxfycxcy)[0])
+                baseline = float(
+                    np.linalg.norm(T_SC[1][:3] - T_SC[0][:3])
+                )
+                sd = stereo_mod.stereo_depth(
+                    jnp.asarray(images[0]), jnp.asarray(images[1]),
+                    fx, baseline,
+                )
+                T_WS = info["T_WS"]
+                T_WC = np.asarray(
+                    se3.se3_multiply(jnp.asarray(T_WS), jnp.asarray(T_SC[0]))
+                )
+                submapper.integrate_depth(
+                    info["fid"], T_WS, T_WC, cameras[0],
+                    np.asarray(sd.depth), np.asarray(sd.sigma),
+                )
+
+        if n % 50 == 0:
+            print(f"frame {n}  t={time.time()-t0:.1f}s  "
+                  f"kf={info['is_keyframe']} map={info['n_map']}")
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    # online trajectory
+    ts = np.array([s[0] for s in pipe.states_log])
+    Ts = np.stack([s[1] for s in pipe.states_log])
+    trajectory_io.write_tum(os.path.join(args.output, "trajectory.tum"), ts, Ts)
+
+    if args.final_ba and args.mode != "vio":
+        cost = pipe.est.final_ba()
+        print(f"final BA cost: {cost:.1f}")
+        fts, fTs = pipe.est.full_trajectory()
+        trajectory_io.write_tum(
+            os.path.join(args.output, "final_trajectory.tum"), fts, fTs
+        )
+
+    if submapper is not None:
+        submapper.export_occupied_ply(os.path.join(args.output, "map.ply"))
+
+    print(timing.report())
+    if gt is not None:
+        ate = trajectory_io.ate_rmse(ts, Ts[:, :3], gt[:, 0], gt[:, 1:4])
+        print(f"ATE RMSE (online): {ate:.4f} m over {len(ts)} frames, "
+              f"{pipe.n_loop_closures} loop closures")
+        return ate
+    return None
+
+
+if __name__ == "__main__":
+    main()

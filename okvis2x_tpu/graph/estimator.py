@@ -56,6 +56,7 @@ class EstimatorConfig:
     cap_imu_links: int = 11
     cap_imu_samples: int = 512
     cap_rel_edges: int = 16
+    cap_gps: int = 8
     keypoint_sigma_px: float = 0.8
     max_iterations: int = 10
     imu: pre.ImuParams = pre.ImuParams()
@@ -115,6 +116,31 @@ class SlidingWindowEstimator:
 
         # relative-pose (pose-graph / marginalisation) edges between frame ids
         self.rel_edges: List[dict] = []
+        # long-term pose graph: frames/edges that left the active window
+        # (consumed by loop closure / final BA; ≙ the full graph's pose-graph
+        # part in ViSlamBackend's dual-graph design)
+        self.archive_frames: Dict[int, FrameState] = {}
+        self.archive_edges: List[dict] = []
+        # archived observations + landmark snapshots for the final BA
+        # (≙ doFinalBa re-expanding pose-graph edges back to observations)
+        self.arch_obs_fid = np.zeros((0,), np.int64)
+        self.arch_obs_cam = np.zeros((0,), np.int64)
+        self.arch_obs_lid = np.zeros((0,), np.int64)
+        self.arch_obs_uv = np.zeros((0, 2))
+        self.arch_obs_sigma = np.zeros((0,))
+        self.arch_lm: Dict[int, np.ndarray] = {}
+
+        # GNSS fusion state machine (≙ ViGraph gpsStatus_,
+        # okvis_ceres/include/okvis/ViGraph.hpp:73-79: Off/Idle/Initialising/
+        # Initialised/ReInitialising; alignment ≙ attemptFullGpsAlignment,
+        # ViSlamBackend.cpp:2557)
+        self.gps_status = "Off"
+        self.gps_meas: List[tuple] = []  # (t, pos_G (3,), err (3,))
+        self.T_GW = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        self.gps_r_SA = np.zeros(3)
+        self.gps_min_fixes = 6
+        self.gps_min_span = 1.0  # [m] trajectory extent before alignment
+        self.gps_timeout = 2.0  # [s] dropout -> re-initialise
 
         # priors (on first state)
         self.prior_fid: Optional[int] = None
@@ -242,6 +268,67 @@ class SlidingWindowEstimator:
             jnp.asarray(bg, dtype=dt), jnp.asarray(ba, dtype=dt),
         )
 
+    # ------------------------------------------------------------------ gps
+    def add_gps_measurement(self, t: float, pos_G, err):
+        """(≙ ViGraph::addGpsMeasurement + the status machine)."""
+        self.gps_meas.append(
+            (float(t), np.asarray(pos_G, float), np.asarray(err, float))
+        )
+        if self.gps_status == "Off":
+            self.gps_status = "Idle"
+        if self.gps_status == "Idle":
+            self._attempt_gps_alignment()
+
+    def _gps_state_pos(self, t: float) -> Optional[np.ndarray]:
+        """Interpolated estimator position at time t (host-side)."""
+        frames = sorted(
+            list(self.archive_frames.values()) + self.frames,
+            key=lambda f: f.timestamp,
+        )
+        if not frames or t < frames[0].timestamp - 0.2 or t > frames[-1].timestamp + 0.2:
+            return None
+        ts = np.array([f.timestamp for f in frames])
+        i = int(np.clip(np.searchsorted(ts, t), 1, len(ts) - 1))
+        a, b = frames[i - 1], frames[i]
+        dt = max(b.timestamp - a.timestamp, 1e-9)
+        w = np.clip((t - a.timestamp) / dt, 0.0, 1.0)
+        return (1 - w) * a.T_WS[:3] + w * b.T_WS[:3]
+
+    def _attempt_gps_alignment(self):
+        """Estimate the 4-dof T_GW by yaw+translation least squares over
+        (trajectory, fix) pairs (≙ attemptFullGpsAlignment)."""
+        pairs = []
+        for t, pg, err in self.gps_meas:
+            pw = self._gps_state_pos(t)
+            if pw is not None:
+                pairs.append((pw, pg))
+        if len(pairs) < self.gps_min_fixes:
+            return
+        PW = np.stack([p[0] for p in pairs])
+        PG = np.stack([p[1] for p in pairs])
+        if np.ptp(PW, axis=0)[:2].max() < self.gps_min_span:
+            return  # not enough horizontal motion to observe yaw
+        # yaw: maximise sum cos(yaw)*(x.x'+y.y') + sin(yaw)*(x.y'-y.x')
+        cw = PW - PW.mean(0)
+        cg = PG - PG.mean(0)
+        a = float(np.sum(cw[:, 0] * cg[:, 0] + cw[:, 1] * cg[:, 1]))
+        b = float(np.sum(cw[:, 0] * cg[:, 1] - cw[:, 1] * cg[:, 0]))
+        yaw = np.arctan2(b, a)
+        q = np.asarray(se3.delta_q(jnp.asarray([0.0, 0.0, yaw])))
+        Rz = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+        tr = PG.mean(0) - Rz @ PW.mean(0)
+        self.T_GW = np.concatenate([tr, q])
+        self.gps_status = "Initialised"
+
+    def _check_gps_dropout(self, t_now: float):
+        if self.gps_status == "Initialised" and self.gps_meas:
+            if t_now - self.gps_meas[-1][0] > self.gps_timeout:
+                # dropout: keep T_GW but flag for realignment on return
+                self.gps_status = "ReInitialising"
+        elif self.gps_status == "ReInitialising" and self.gps_meas:
+            if t_now - self.gps_meas[-1][0] < self.gps_timeout:
+                self._attempt_gps_alignment()
+
     # ------------------------------------------------------------- landmarks
     def add_landmark(self, hp_W) -> int:
         lid = self._next_lid
@@ -284,7 +371,7 @@ class SlidingWindowEstimator:
         fid2slot = {f.fid: i for i, f in enumerate(self.frames)}
 
         p = prb.empty_problem(K=K, L=L, C=C, N=Ncap, M=Mcap,
-                              R=cfg.cap_rel_edges, dtype=dtype)
+                              R=cfg.cap_rel_edges, G=cfg.cap_gps, dtype=dtype)
 
         T_WS = np.stack([f.T_WS for f in self.frames]) if nf else np.zeros((0, 7))
         sb = np.stack([f.sb for f in self.frames]) if nf else np.zeros((0, 9))
@@ -403,7 +490,56 @@ class SlidingWindowEstimator:
                 rel_valid[nrel] = True
                 nrel += 1
 
+        # GNSS factors: newest fixes attached to the latest frame at/before
+        # the fix time, with a preintegration bridging the gap (async factor)
+        Gcap = cfg.cap_gps
+        gps_frame = np.zeros(Gcap, np.int32)
+        gps_p_G = np.zeros((Gcap, 3))
+        gps_si = np.tile(np.eye(3), (Gcap, 1, 1))
+        gps_valid = np.zeros(Gcap, bool)
+        gps_pres = []
+        if self.gps_status in ("Initialised", "ReInitialising") and nf:
+            t_lo = self.frames[0].timestamp
+            recent = [m for m in self.gps_meas if m[0] >= t_lo][-Gcap:]
+            g = 0
+            for t_g, pos_G, err in recent:
+                host = None
+                for i in range(nf - 1, -1, -1):
+                    if self.frames[i].timestamp <= t_g + 1e-9:
+                        host = i
+                        break
+                if host is None:
+                    continue
+                hf = self.frames[host]
+                P = self._preintegrate_span(
+                    hf.timestamp, max(t_g, hf.timestamp), hf.sb[3:6], hf.sb[6:9]
+                )
+                gps_frame[g] = host
+                gps_p_G[g] = pos_G
+                gps_si[g] = np.diag(1.0 / np.maximum(err, 1e-3))
+                gps_valid[g] = True
+                gps_pres.append(P)
+                g += 1
+        gps_pre = p.gps_pre
+        if gps_pres:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *gps_pres)
+            ng = len(gps_pres)
+            gps_pre = jax.tree.map(
+                lambda full, part: full.at[:ng].set(part.astype(full.dtype)),
+                p.gps_pre, stacked,
+            )
+
         cvt = lambda x: jnp.asarray(x, dtype=dtype)
+        p = p._replace(
+            T_GW=cvt(self.T_GW),
+            tgw_fixed=jnp.asarray(self.gps_status != "Initialised"),
+            gps_frame=jnp.asarray(gps_frame),
+            gps_pre=gps_pre,
+            gps_p_G=cvt(gps_p_G),
+            gps_r_SA=cvt(self.gps_r_SA),
+            gps_sqrt_info=cvt(gps_si),
+            gps_valid=jnp.asarray(gps_valid),
+        )
         p = p._replace(
             T_WS=p.T_WS.at[:nf].set(cvt(T_WS)),
             sb=p.sb.at[:nf].set(cvt(sb)),
@@ -454,6 +590,8 @@ class SlidingWindowEstimator:
     def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
         """Run the window solver and write results back to host state."""
         iters = iterations or self.cfg.max_iterations
+        if self.frames:
+            self._check_gps_dropout(self.frames[-1].timestamp)
         p, fid2slot = self._build_problem()
         run = self._optimize_fn(int(p.rel_valid.shape[0]), iters, pose_only)
         p_opt, cost = run(p, self.cams)
@@ -466,6 +604,8 @@ class SlidingWindowEstimator:
         hp = np.asarray(p_opt.hp_W)
         nl = len(self.lm_ids)
         self.hp_W = hp[:nl]
+        if self.gps_status == "Initialised":
+            self.T_GW = np.asarray(p_opt.T_GW)
         return float(cost)
 
     # -------------------------------------------------------- marginalisation
@@ -494,9 +634,15 @@ class SlidingWindowEstimator:
             self.obs_sigma = self.obs_sigma[keep]
 
     def _prune_landmarks(self):
-        """Remove landmarks with no remaining observations."""
+        """Remove landmarks with no remaining observations (their final
+        positions are snapshotted for the final BA)."""
         seen = set(self.obs_lid.tolist())
-        keep_rows = [i for i, lid in enumerate(self.lm_ids) if lid in seen]
+        keep_rows = []
+        for i, lid in enumerate(self.lm_ids):
+            if lid in seen:
+                keep_rows.append(i)
+            else:
+                self.arch_lm[lid] = self.hp_W[i].copy()
         self.lm_ids = [self.lm_ids[i] for i in keep_rows]
         self.hp_W = self.hp_W[keep_rows]
         self.lm_quality = self.lm_quality[keep_rows]
@@ -534,17 +680,22 @@ class SlidingWindowEstimator:
                 break
             self._marginalise_keyframe(kfs[0])
 
-        # 3. cap total frames: drop oldest pose-graph frames
+        # 3. cap total frames: archive oldest pose-graph frames (they stay
+        # in the long-term pose graph for loop closure / final BA)
         while len(self.frames) > cfg.cap_frames - 1:
             pg = [f for f in self.frames if f.pose_graph_frame]
             if not pg:
                 break
             victim = pg[0]
+            self.archive_frames[victim.fid] = victim
             self._drop_frame(victim.fid)
-            self.rel_edges = [
-                e for e in self.rel_edges
-                if e["i"] != victim.fid and e["j"] != victim.fid
-            ]
+            keep = []
+            for e in self.rel_edges:
+                if e["i"] == victim.fid or e["j"] == victim.fid:
+                    self.archive_edges.append(e)
+                else:
+                    keep.append(e)
+            self.rel_edges = keep
 
         self._prune_landmarks()
         self._trim_imu_buffer()
@@ -570,15 +721,17 @@ class SlidingWindowEstimator:
         shared = [l for l in shared if l in self.lm_index]
         if not shared:
             return None
+        # fixed capacities: one compiled program regardless of window content
+        # (surplus co-observations are subsampled — they carry diminishing
+        # information for a single 6-dof edge)
+        ncap = 512
+        lcap = 128
+        if len(shared) > lcap:
+            shared = shared[:lcap]
         lrow = {l: i for i, l in enumerate(shared)}
         sel = np.nonzero((va | vb) & np.isin(self.obs_lid, list(shared)))[0]
-
-        ncap = 256
-        lcap = 128
-        while ncap < len(sel):
-            ncap *= 2
-        while lcap < len(shared):
-            lcap *= 2
+        if len(sel) > ncap:
+            sel = sel[:: len(sel) // ncap + 1][:ncap]
 
         hp = np.tile(np.array([0, 0, 0, 1.0]), (lcap, 1))
         hp[: len(shared)] = self.hp_W[[self.lm_index[l] for l in shared]]
@@ -632,20 +785,281 @@ class SlidingWindowEstimator:
                 if edge is not None:
                     self.rel_edges.append(edge)
         # keep the frame as a frozen pose-graph anchor; its observations
-        # are summarised in the edge, so they leave the active problem
+        # are summarised in the edge, so they leave the active problem —
+        # but are archived for the final BA re-expansion
         victim.pose_graph_frame = True
-        keep = self.obs_fid != victim.fid
+        gone = self.obs_fid == victim.fid
+        self._archive_obs(gone)
+        keep = ~gone
         self.obs_fid = self.obs_fid[keep]
         self.obs_cam = self.obs_cam[keep]
         self.obs_lid = self.obs_lid[keep]
         self.obs_uv = self.obs_uv[keep]
         self.obs_sigma = self.obs_sigma[keep]
-        # edges touching the victim die with it (round 1; pose-graph module
-        # will keep them in the background graph instead)
-        self.rel_edges = [
-            e for e in self.rel_edges
-            if e["i"] != victim.fid and e["j"] != victim.fid
+
+    def _archive_obs(self, mask: np.ndarray):
+        self.arch_obs_fid = np.append(self.arch_obs_fid, self.obs_fid[mask])
+        self.arch_obs_cam = np.append(self.arch_obs_cam, self.obs_cam[mask])
+        self.arch_obs_lid = np.append(self.arch_obs_lid, self.obs_lid[mask])
+        self.arch_obs_uv = np.vstack([self.arch_obs_uv, self.obs_uv[mask]])
+        self.arch_obs_sigma = np.append(
+            self.arch_obs_sigma, self.obs_sigma[mask]
+        )
+
+    # ----------------------------------------------------- loop closure
+    def pose_graph(self):
+        """All known keyframe poses (archived + windowed) and relative
+        edges, time-ordered — the long-term pose graph."""
+        nodes: List[FrameState] = sorted(
+            list(self.archive_frames.values())
+            + [f for f in self.frames if f.is_keyframe or f.pose_graph_frame],
+            key=lambda f: f.timestamp,
+        )
+        edges = list(self.archive_edges) + list(self.rel_edges)
+        return nodes, edges
+
+    def close_loop(
+        self,
+        fid_cur: int,
+        fid_cand: int,
+        T_cand_cur: np.ndarray,
+        sqrt_info: np.ndarray,
+        iterations: int = 10,
+    ) -> bool:
+        """Accepted loop closure: add the loop edge, optimise the full pose
+        graph, and rigidly correct the active window + landmarks
+        (≙ ViSlamBackend::addLoopClosureFrame + optimiseFullGraph +
+        synchroniseRealtimeAndFullGraph, simplified to a pose-graph stage).
+        """
+        from okvis2x_tpu.graph import posegraph
+
+        nodes, edges = self.pose_graph()
+        fids = [f.fid for f in nodes]
+        if fid_cur not in fids or fid_cand not in fids:
+            return False
+        idx = {fid: i for i, fid in enumerate(fids)}
+
+        # odometry fill-in between consecutive nodes lacking any edge
+        connected = {(min(e["i"], e["j"]), max(e["i"], e["j"])) for e in edges}
+        all_edges = list(edges)
+        for a, b in zip(nodes[:-1], nodes[1:]):
+            key = (min(a.fid, b.fid), max(a.fid, b.fid))
+            if key not in connected:
+                T_ij = np.asarray(
+                    se3.se3_multiply(
+                        se3.se3_inverse(jnp.asarray(a.T_WS)), jnp.asarray(b.T_WS)
+                    )
+                )
+                all_edges.append(
+                    dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 50.0)
+                )
+        all_edges.append(
+            dict(i=fid_cand, j=fid_cur, T_ij=np.asarray(T_cand_cur),
+                 sqrt_info=np.asarray(sqrt_info))
+        )
+
+        K = len(nodes)
+        T = np.stack([f.T_WS for f in nodes])
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        ei = np.array([idx[e["i"]] for e in all_edges], np.int64)
+        ej = np.array([idx[e["j"]] for e in all_edges], np.int64)
+        eT = np.stack([e["T_ij"] for e in all_edges])
+        eS = np.stack([e["sqrt_info"] for e in all_edges])
+        T_opt, cost = posegraph.optimize_pose_graph(
+            T, fixed, ei, ej, eT, eS, iterations=iterations,
+            dtype=self.cfg.dtype,
+        )
+        if not np.all(np.isfinite(T_opt)):
+            return False
+
+        # write back pose-graph nodes
+        for f, Tn in zip(nodes, T_opt):
+            f.T_WS = Tn.copy()
+
+        # rigid correction of the active (IMU-chained) segment + landmarks,
+        # anchored at the newest pose-graph-optimised keyframe
+        active = [f for f in self.frames if not f.pose_graph_frame]
+        anchor = None
+        for f in reversed(self.frames):
+            if f.fid in idx:
+                anchor = f
+                break
+        if anchor is not None:
+            i_a = idx[anchor.fid]
+            T_old = jnp.asarray(
+                np.concatenate([T[i_a][:3], T[i_a][3:7]])
+            )
+            T_new = jnp.asarray(T_opt[i_a])
+            dT = se3.se3_multiply(T_new, se3.se3_inverse(T_old))
+            dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT)))
+            for f in active:
+                if f.fid in idx:
+                    continue  # already set from the pose graph
+                f.T_WS = np.asarray(
+                    se3.se3_multiply(dT, jnp.asarray(f.T_WS))
+                )
+                f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
+            if len(self.hp_W):
+                hp = jnp.asarray(self.hp_W)
+                self.hp_W = np.asarray(
+                    jax.vmap(lambda h: se3.se3_apply_homogeneous(dT, h))(hp)
+                )
+        return True
+
+    # --------------------------------------------------------------- final BA
+    def final_ba(self, iterations: int = 15) -> float:
+        """Full-batch bundle adjustment over the whole history
+        (≙ ViSlamBackend::doFinalBa, okvis_ceres/src/ViSlamBackend.cpp:2005):
+        re-expand archived observations, unfreeze all keyframe poses, and
+        jointly optimise every keyframe + landmark.  Consecutive keyframes
+        without raw IMU data are glued by relative-pose odometry edges
+        (approximation of re-propagated IMU links, documented).
+
+        Writes the result back into archive + window state; returns cost.
+        """
+        nodes, edges = self.pose_graph()
+        if len(nodes) < 2:
+            return 0.0
+        fid2slot = {f.fid: i for i, f in enumerate(nodes)}
+        nf = len(nodes)
+
+        # observations: archived + live, restricted to pose-graph nodes
+        obs_fid = np.append(self.arch_obs_fid, self.obs_fid)
+        obs_cam = np.append(self.arch_obs_cam, self.obs_cam)
+        obs_lid = np.append(self.arch_obs_lid, self.obs_lid)
+        obs_uv = np.vstack([self.arch_obs_uv, self.obs_uv])
+        obs_sigma = np.append(self.arch_obs_sigma, self.obs_sigma)
+        live = np.array([f in fid2slot for f in obs_fid], bool)
+        obs_fid, obs_cam, obs_lid = obs_fid[live], obs_cam[live], obs_lid[live]
+        obs_uv, obs_sigma = obs_uv[live], obs_sigma[live]
+
+        # landmarks: live + archived snapshots, keep those with >= 2 obs
+        lids, counts = np.unique(obs_lid, return_counts=True)
+        lids = lids[counts >= 2]
+        lid2row = {}
+        hps = []
+        for lid in lids:
+            if lid in self.lm_index:
+                hp = self.hp_W[self.lm_index[lid]]
+            elif lid in self.arch_lm:
+                hp = self.arch_lm[lid]
+            else:
+                continue
+            lid2row[lid] = len(hps)
+            hps.append(hp)
+        nl = len(hps)
+        ok = np.array([l in lid2row for l in obs_lid], bool)
+        obs_fid, obs_cam, obs_lid = obs_fid[ok], obs_cam[ok], obs_lid[ok]
+        obs_uv, obs_sigma = obs_uv[ok], obs_sigma[ok]
+        n_obs = len(obs_fid)
+        if n_obs < 10 or nl < 5:
+            return 0.0
+
+        # odometry glue between consecutive nodes lacking any edge
+        connected = {(min(e["i"], e["j"]), max(e["i"], e["j"])) for e in edges}
+        all_edges = list(edges)
+        for a, b in zip(nodes[:-1], nodes[1:]):
+            key = (min(a.fid, b.fid), max(a.fid, b.fid))
+            if key not in connected:
+                T_ij = np.asarray(
+                    se3.se3_multiply(
+                        se3.se3_inverse(jnp.asarray(a.T_WS)), jnp.asarray(b.T_WS)
+                    )
+                )
+                all_edges.append(
+                    dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 20.0)
+                )
+        all_edges = [
+            e for e in all_edges if e["i"] in fid2slot and e["j"] in fid2slot
         ]
+
+        def bucket(n, base=64):
+            c = base
+            while c < n:
+                c *= 2
+            return c
+
+        K = bucket(nf, 16)
+        L = bucket(nl, 64)
+        N = bucket(n_obs, 256)
+        R = bucket(len(all_edges), 16)
+        dtype = self.cfg.dtype
+
+        p = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=1, R=R, dtype=dtype)
+        T_WS = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
+        T_WS[:nf] = np.stack([f.T_WS for f in nodes])
+        frame_valid = np.zeros(K, bool)
+        frame_valid[:nf] = True
+        pose_fixed = np.zeros(K, bool)
+        pose_fixed[0] = True  # gauge
+        sb_fixed = np.ones(K, bool)
+
+        hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
+        hp[:nl] = np.stack(hps)
+        lm_valid = np.zeros(L, bool)
+        lm_valid[:nl] = True
+
+        o_frame = np.zeros(N, np.int32)
+        o_cam = np.zeros(N, np.int32)
+        o_lm = np.zeros(N, np.int32)
+        o_uv = np.zeros((N, 2))
+        o_si = np.ones(N)
+        o_valid = np.zeros(N, bool)
+        o_frame[:n_obs] = [fid2slot[f] for f in obs_fid]
+        o_cam[:n_obs] = obs_cam
+        o_lm[:n_obs] = [lid2row[l] for l in obs_lid]
+        o_uv[:n_obs] = obs_uv
+        o_si[:n_obs] = 1.0 / obs_sigma
+        o_valid[:n_obs] = True
+
+        r_i = np.zeros(R, np.int32)
+        r_j = np.zeros(R, np.int32)
+        r_T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (R, 1))
+        r_si = np.tile(np.eye(6), (R, 1, 1))
+        r_valid = np.zeros(R, bool)
+        for m, e in enumerate(all_edges):
+            r_i[m] = fid2slot[e["i"]]
+            r_j[m] = fid2slot[e["j"]]
+            r_T[m] = e["T_ij"]
+            r_si[m] = e["sqrt_info"]
+            r_valid[m] = True
+
+        cvt = lambda x: jnp.asarray(x, dtype)
+        p = p._replace(
+            T_WS=cvt(T_WS), frame_valid=jnp.asarray(frame_valid),
+            pose_fixed=jnp.asarray(pose_fixed), sb_fixed=jnp.asarray(sb_fixed),
+            T_SC=cvt(self.T_SC),
+            hp_W=cvt(hp), lm_valid=jnp.asarray(lm_valid),
+            obs_frame=jnp.asarray(o_frame), obs_cam=jnp.asarray(o_cam),
+            obs_lm=jnp.asarray(o_lm), obs_uv=cvt(o_uv),
+            obs_sqrt_info=cvt(o_si), obs_valid=jnp.asarray(o_valid),
+            rel_i=jnp.asarray(r_i), rel_j=jnp.asarray(r_j),
+            rel_T=cvt(r_T), rel_sqrt_info=cvt(r_si),
+            rel_valid=jnp.asarray(r_valid),
+        )
+        key = ("final", K, L, N, R, iterations)
+        if key not in self._jit_cache:
+            cfg_s = gn.SolverConfig(max_iterations=iterations,
+                                    imu_params=self.cfg.imu)
+            self._jit_cache[key] = jax.jit(
+                lambda pp, cams: gn.optimize(pp, cams, cfg_s)
+            )
+        p_opt, cost = self._jit_cache[key](p, self.cams)
+
+        T_out = np.asarray(p_opt.T_WS)
+        for f, slot in fid2slot.items():
+            fr = self.archive_frames.get(f)
+            if fr is None:
+                fr = self._frame_by_id(f)
+            fr.T_WS = T_out[slot]
+        hp_out = np.asarray(p_opt.hp_W)
+        for lid, row in lid2row.items():
+            if lid in self.lm_index:
+                self.hp_W[self.lm_index[lid]] = hp_out[row]
+            else:
+                self.arch_lm[lid] = hp_out[row]
+        return float(cost)
 
     # ------------------------------------------------------------- outputs
     def get_state(self, fid: Optional[int] = None) -> FrameState:
@@ -653,3 +1067,14 @@ class SlidingWindowEstimator:
 
     def trajectory(self):
         return {f.fid: (f.timestamp, f.T_WS.copy()) for f in self.frames}
+
+    def full_trajectory(self):
+        """Time-ordered (timestamp, T_WS) over archived + windowed frames."""
+        frames = sorted(
+            list(self.archive_frames.values()) + self.frames,
+            key=lambda f: f.timestamp,
+        )
+        return (
+            np.array([f.timestamp for f in frames]),
+            np.stack([f.T_WS for f in frames]) if frames else np.zeros((0, 7)),
+        )

@@ -99,6 +99,10 @@ def generate(
     imu_noise: bool = True,
     n_points: int = 600,
     seed: int = 3,
+    with_gps: bool = False,
+    with_lidar: bool = False,
+    gps_rate: float = 5.0,
+    gps_sigma: float = 0.05,
 ):
     """Write a synthetic stereo-inertial dataset; returns (cam_cfg dict,
     T_SC (2,7), ground truth array [t, p, q])."""
@@ -173,5 +177,55 @@ def generate(
                 f"{q[i,3]},{q[i,0]},{q[i,1]},{q[i,2]},"
                 f"{v[i,0]},{v[i,1]},{v[i,2]},0,0,0,0,0,0\n"
             )
+    # optional GNSS stream (cartesian, in a shifted+yawed G frame)
+    if with_gps:
+        from okvis2x_tpu.io.xdataset import GNSS_LEAP_NS
+
+        t_gps = np.arange(0.05, duration, 1.0 / gps_rate)
+        pg, qg, _, _, _ = analytic_trajectory(t_gps)
+        yaw_g = 0.4
+        Rg = np.array(
+            [[np.cos(yaw_g), -np.sin(yaw_g), 0],
+             [np.sin(yaw_g), np.cos(yaw_g), 0], [0, 0, 1.0]]
+        )
+        t_G = np.array([30.0, -12.0, 4.0])
+        pos_G = pg @ Rg.T + t_G + rng.normal(0, gps_sigma, (len(t_gps), 3))
+        os.makedirs(os.path.join(root, "gps0"), exist_ok=True)
+        with open(os.path.join(root, "gps0", "data.csv"), "w") as f:
+            f.write("#timestamp [ns],x,y,z,err_x,err_y,err_z\n")
+            for i, t in enumerate(t_gps):
+                ns = t0_ns + int(round(t * 1e9)) + GNSS_LEAP_NS
+                f.write(
+                    f"{ns},{pos_G[i,0]},{pos_G[i,1]},{pos_G[i,2]},"
+                    f"{gps_sigma},{gps_sigma},{gps_sigma}\n"
+                )
+
+    # optional LiDAR stream: rays to the scene dots (point-per-line format)
+    if with_lidar:
+        os.makedirs(os.path.join(root, "lidar0"), exist_ok=True)
+        t_sweep = np.arange(0.3, duration, 0.1)
+        with open(os.path.join(root, "lidar0", "data.csv"), "w") as f:
+            f.write("#timestamp [ns],x,y,z,intensity\n")
+            for ts in t_sweep:
+                ps, qs, _, _, _ = analytic_trajectory(np.array([ts]))
+                T_WS = np.concatenate([ps[0], qs[0]])
+                T_SW = se3.se3_inverse(jnp.asarray(T_WS))
+                import jax
+
+                p_S = np.asarray(
+                    jax.vmap(lambda pt: se3.se3_apply(T_SW, pt))(
+                        jnp.asarray(pts[:120])
+                    )
+                )
+                rngs = np.linalg.norm(p_S, axis=-1)
+                keep = rngs < 15.0
+                for k, pt_S in enumerate(p_S):
+                    if not keep[k]:
+                        continue
+                    ns = t0_ns + int(round((ts + k * 1e-4) * 1e9))
+                    f.write(
+                        f"{ns},{pt_S[0]:.4f},{pt_S[1]:.4f},{pt_S[2]:.4f},1.0\n"
+                    )
+
     gt = np.concatenate([t_frames[:, None], p, q], axis=1)
     return cam, T_SC, gt

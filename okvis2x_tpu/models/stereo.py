@@ -1,0 +1,182 @@
+"""Stereo depth estimation with uncertainty.
+
+Fills the role of the reference's `Stereo2DepthProcessor` + TorchScript
+Unimatch model (okvis_deep_learning/src/Stereo2DepthProcessor.cpp:65-202):
+rectified stereo pair -> disparity + sigma -> metric depth + sigma images
+for the DepthError factors and occupancy integration.
+
+Two engines:
+  * `census_stereo` — classical census-transform block matching with cost
+    aggregation, WTA + parabolic subpixel, left-right consistency and a
+    curvature-based sigma.  Deterministic, training-free, and TPU-shaped
+    (shifts + convolutions + argmin over a static disparity axis), so the
+    depth pipeline is fully functional without downloadable weights.
+  * `StereoNet` (stereo_net.py) — a compact learned correlation-volume
+    network (Unimatch-style) with a sigma head, for when trained weights
+    are available.
+
+Disparity -> depth: z = f_x * baseline / d, sigma_z = z^2 / (f b) * sigma_d
+(the same propagation the reference applies).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StereoDepth(NamedTuple):
+    depth: jax.Array  # (H, W) metres; 0 where invalid
+    sigma: jax.Array  # (H, W) depth stdev
+    disparity: jax.Array  # (H, W) px
+    valid: jax.Array  # (H, W) bool
+
+
+def _census(img: jax.Array, win: int = 5) -> jax.Array:
+    """Census transform: (H, W) uint32 bitfield of centre-vs-neighbour
+    comparisons in a win x win window."""
+    H, W = img.shape
+    r = win // 2
+    pad = jnp.pad(img, r, mode="edge")
+    bits = jnp.zeros((H, W), jnp.uint32)
+    k = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb = pad[r + dy : r + dy + H, r + dx : r + dx + W]
+            bits = bits | ((nb > img).astype(jnp.uint32) << jnp.uint32(k))
+            k += 1
+    return bits
+
+
+def _popcount32(x: jax.Array) -> jax.Array:
+    """SWAR popcount on uint32."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _box(img: jax.Array, r: int = 3) -> jax.Array:
+    k = jnp.ones((2 * r + 1, 2 * r + 1), img.dtype) / (2 * r + 1) ** 2
+    return jax.lax.conv_general_dilated(
+        img[None, None], k[None, None], (1, 1), "SAME"
+    )[0, 0]
+
+
+def census_stereo(
+    left: jax.Array,
+    right: jax.Array,
+    max_disp: int = 64,
+    census_win: int = 5,
+    agg_radius: int = 3,
+    lr_tol: float = 1.5,
+    uniq_ratio: float = 0.9,
+) -> tuple:
+    """Returns (disparity (H,W), sigma_d (H,W), valid (H,W)).
+
+    Cost = box-aggregated census Hamming distance; static disparity axis
+    (one (D, H, W) volume, argmin on device).
+    """
+    H, W = left.shape
+    cl = _census(left, census_win)
+    cr = _census(right, census_win)
+
+    def cost_at(d):
+        # right image shifted right by d: right pixel (x - d) matches left x
+        crs = jnp.roll(cr, d, axis=1)
+        c = _popcount32(cl ^ crs).astype(jnp.float32)
+        # invalidate wrapped columns
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        return jnp.where(xs >= d, c, 1e4)
+
+    vol = jnp.stack([_box(cost_at(d), agg_radius) for d in range(max_disp)])
+
+    best = jnp.argmin(vol, axis=0)  # (H, W)
+    cmin = jnp.min(vol, axis=0)
+
+    # parabolic subpixel + curvature sigma
+    d0 = jnp.clip(best, 1, max_disp - 2)
+    take = lambda dd: jnp.take_along_axis(vol, dd[None], axis=0)[0]
+    cm = take(d0 - 1)
+    cc = take(d0)
+    cp = take(d0 + 1)
+    denom = cm - 2 * cc + cp
+    offset = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    disp = best.astype(jnp.float32) + jnp.clip(offset, -0.5, 0.5)
+    # sigma_d from cost curvature (sharper minimum -> lower sigma)
+    sigma_d = jnp.clip(3.0 / jnp.sqrt(jnp.maximum(denom, 1e-3)), 0.1, 5.0)
+
+    # uniqueness: second-best must be clearly worse outside +-1 disparity
+    ds = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 0)
+    masked = jnp.where(jnp.abs(ds - best[None]) <= 1, jnp.inf, vol)
+    c2 = jnp.min(masked, axis=0)
+    unique = cmin < uniq_ratio * c2
+
+    # left-right consistency: compute right disparity by matching R->L
+    def cost_at_r(d):
+        cls = jnp.roll(cl, -d, axis=1)
+        c = _popcount32(cr ^ cls).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        return jnp.where(xs < W - d, c, 1e4)
+
+    vol_r = jnp.stack([_box(cost_at_r(d), agg_radius) for d in range(max_disp)])
+    best_r = jnp.argmin(vol_r, axis=0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    xr = jnp.clip(xs - best, 0, W - 1)
+    d_rl = jnp.take_along_axis(best_r, xr, axis=1)
+    lr_ok = jnp.abs(best - d_rl) <= lr_tol
+
+    valid = (best > 0) & (best < max_disp - 1) & unique & lr_ok & (cmin < 1e3)
+    return disp, sigma_d, valid
+
+
+def disparity_to_depth(
+    disp: jax.Array,
+    sigma_d: jax.Array,
+    valid: jax.Array,
+    fx: float,
+    baseline: float,
+    min_depth: float = 0.1,
+    max_depth: float = 50.0,
+) -> StereoDepth:
+    """(≙ Stereo2DepthProcessor depth conversion with sigma propagation)."""
+    fb = fx * baseline
+    d_safe = jnp.maximum(disp, 1e-3)
+    z = fb / d_safe
+    sigma_z = z * z / fb * sigma_d
+    ok = valid & (z > min_depth) & (z < max_depth)
+    return StereoDepth(
+        depth=jnp.where(ok, z, 0.0),
+        sigma=jnp.where(ok, sigma_z, jnp.inf),
+        disparity=disp,
+        valid=ok,
+    )
+
+
+def stereo_depth(
+    left: jax.Array, right: jax.Array, fx: float, baseline: float,
+    max_disp: int = 64,
+) -> StereoDepth:
+    disp, sigma_d, valid = census_stereo(left, right, max_disp=max_disp)
+    return disparity_to_depth(disp, sigma_d, valid, fx, baseline)
+
+
+def fuse_depths(
+    d1: jax.Array, s1: jax.Array, d2: jax.Array, s2: jax.Array
+) -> tuple:
+    """Inverse-variance fusion of two depth maps
+    (≙ DepthFusionProcessor.cpp:418-420)."""
+    w1 = 1.0 / jnp.maximum(s1 * s1, 1e-12)
+    w2 = 1.0 / jnp.maximum(s2 * s2, 1e-12)
+    v1 = d1 > 0
+    v2 = d2 > 0
+    w1 = jnp.where(v1, w1, 0.0)
+    w2 = jnp.where(v2, w2, 0.0)
+    wsum = w1 + w2
+    d = jnp.where(wsum > 0, (d1 * w1 + d2 * w2) / jnp.maximum(wsum, 1e-12), 0.0)
+    s = jnp.where(wsum > 0, jnp.sqrt(1.0 / jnp.maximum(wsum, 1e-12)), jnp.inf)
+    return d, s

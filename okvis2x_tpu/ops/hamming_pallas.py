@@ -1,0 +1,93 @@
+"""Pallas TPU kernel: packed binary-descriptor Hamming distance matrix.
+
+Two formulations of descriptor matching exist in the framework:
+
+  * matmul (frontend/matcher.py): descriptors as ±1 bf16 vectors, distance
+    via one MXU matmul — compute-optimal for frame-to-frame matching;
+  * this kernel: descriptors stay bit-packed (12 uint32 words = 384 bits),
+    distance via XOR + SWAR popcount on the VPU — it reads 16x less HBM per
+    descriptor, which wins when matching a query frame against a large
+    database (loop-closure candidate verification across thousands of
+    keyframes, ≙ the brisk Hamming popcount loops the reference runs
+    multithreaded, okvis_frontend/src/Frontend.cpp:1745).
+
+Tiling: grid over (query tiles, db tiles); each program XORs a
+(TQ, WORDS) x (TD, WORDS) tile pair and accumulates popcounts into a
+(TQ, TD) int32 block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WORDS = 12  # 384-bit descriptors
+
+
+def _popcount(x):
+    """SWAR popcount on uint32 lanes."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _hamming_kernel(q_ref, d_ref, out_ref):
+    # q_ref: (TQ, WORDS) uint32; d_ref: (TD, WORDS) uint32; out: (TQ, TD)
+    q = q_ref[:]  # (TQ, W)
+    d = d_ref[:]  # (TD, W)
+    acc = jnp.zeros((q.shape[0], d.shape[0]), jnp.int32)
+    for w in range(WORDS):
+        x = q[:, w][:, None] ^ d[:, w][None, :]  # (TQ, TD) uint32
+        acc = acc + _popcount(x)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_matrix_packed(
+    packed_q: jax.Array,  # (NQ, 12) uint32
+    packed_d: jax.Array,  # (ND, 12) uint32
+    interpret: bool = False,
+) -> jax.Array:
+    """(NQ, ND) int32 Hamming distances from packed descriptors.
+
+    NQ/ND should be multiples of the tile sizes (pad with zero descriptors;
+    a zero descriptor has distance = popcount(other), harmless when callers
+    mask, exactly like the matmul path)."""
+    NQ, ND = packed_q.shape[0], packed_d.shape[0]
+    TQ = min(256, NQ)
+    TD = min(512, ND)
+    assert NQ % TQ == 0 and ND % TD == 0, (NQ, ND, TQ, TD)
+
+    grid = (NQ // TQ, ND // TD)
+    return pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((NQ, ND), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TQ, WORDS), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (TD, WORDS), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TQ, TD), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(packed_q, packed_d)
+
+
+def best_matches_packed(packed_q, packed_d, max_dist=60, interpret=False):
+    """Best db match per query + distance, from packed descriptors."""
+    D = hamming_matrix_packed(packed_q, packed_d, interpret=interpret)
+    idx = jnp.argmin(D, axis=1)
+    d = jnp.take_along_axis(D, idx[:, None], axis=1)[:, 0]
+    return idx.astype(jnp.int32), d, d <= max_dist

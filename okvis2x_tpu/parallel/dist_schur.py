@@ -83,21 +83,22 @@ def _linearize_local(p: BAProblem, cams: gn.StackedCameras, cfg: gn.SolverConfig
     b_f = jax.lax.psum(-(Jo.T @ ro), OBS_AXIS)
     cost = jax.lax.psum(cost_local, OBS_AXIS)
 
+    onehot_l = jax.nn.one_hot(p.obs_lm, L, dtype=dtype)
     H_ll = jax.lax.psum(
-        jax.ops.segment_sum(
-            jnp.einsum("nri,nrj->nij", Jh_o, Jh_o), p.obs_lm, num_segments=L
+        jnp.einsum(
+            "nl,nij->lij", onehot_l, jnp.einsum("nri,nrj->nij", Jh_o, Jh_o)
         ),
         OBS_AXIS,
     )
     b_l = jax.lax.psum(
-        -jax.ops.segment_sum(
-            jnp.einsum("nri,nr->ni", Jh_o, r_o), p.obs_lm, num_segments=L
+        -jnp.einsum(
+            "nl,ni->li", onehot_l, jnp.einsum("nri,nr->ni", Jh_o, r_o)
         ),
         OBS_AXIS,
     )
     W = jax.lax.psum(
-        jax.ops.segment_sum(
-            jnp.einsum("nrp,nri->npi", Jrow_o, Jh_o), p.obs_lm, num_segments=L
+        jnp.einsum(
+            "nl,npi->lpi", onehot_l, jnp.einsum("nrp,nri->npi", Jrow_o, Jh_o)
         ),
         OBS_AXIS,
     )

@@ -52,6 +52,15 @@ class PipelineConfig:
     keyframe_match_fraction: float = 0.55
     min_triangulation_depth: float = 0.1
     max_triangulation_depth: float = 50.0
+    # loop closure (≙ okvis2.yaml p_dbow / drift_percentage_heuristic +
+    # Frontend place recognition, Frontend.cpp:859-977)
+    do_loop_closures: bool = True
+    vocab_k: int = 256
+    vocab_min_desc: int = 4000
+    p_dbow: float = 0.4
+    loop_min_gap_s: float = 5.0
+    loop_min_inliers: int = 15
+    drift_percentage: float = 1.35  # % of distance travelled
 
 
 class FrameData:
@@ -85,6 +94,12 @@ class VioPipeline:
         self.lm_desc: Dict[int, np.ndarray] = {}  # lid -> packed descriptor
         self._jit = {}
         self.states_log = []  # (t, T_WS) after each frame
+        self.path_length = 0.0
+        # loop closure state
+        self.vocab = None
+        self.bow_db = None
+        self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
+        self.n_loop_closures = 0
 
     # ---------------------------------------------------------------- stages
     def _detect_fn(self, shape):
@@ -412,9 +427,157 @@ class VioPipeline:
             return True
         return matched / total < self.cfg.keyframe_match_fraction
 
+    # --------------------------------------------------------- loop closure
+    def _record_keyframe(self, fid: int, t: float, frame_data: List[FrameData]):
+        fd = frame_data[0]
+        sel = np.nonzero(fd.valid)[0]
+        lm_pos = np.full((len(fd.uv), 3), np.nan)
+        for k in np.nonzero(fd.lid >= 0)[0]:
+            lid = fd.lid[k]
+            if lid in self.est.lm_index:
+                hp = self.est.hp_W[self.est.lm_index[lid]]
+                if abs(hp[3]) > 1e-9:
+                    lm_pos[k] = hp[:3] / hp[3]
+        self.kf_records[fid] = dict(
+            t=t, packed=fd.packed.copy(), valid=fd.valid.copy(),
+            uv=fd.uv.copy(), lm_pos=lm_pos,
+            T_WS=self.est.get_state(fid).T_WS.copy(),
+            path=self.path_length,
+        )
+
+    def _maybe_train_vocab(self):
+        from okvis2x_tpu.frontend import bow
+
+        if self.vocab is not None:
+            return
+        total = sum(int(r["valid"].sum()) for r in self.kf_records.values())
+        if total < self.cfg.vocab_min_desc:
+            return
+        packs = np.concatenate(
+            [r["packed"][r["valid"]] for r in self.kf_records.values()]
+        )
+        pm1 = descriptor.unpack_pm1(
+            jnp.asarray(packs), jnp.ones(len(packs), bool)
+        )
+        self.vocab = bow.train_vocabulary(pm1, k=self.cfg.vocab_k, iters=6)
+        self.bow_db = bow.BowDatabase(k=self.cfg.vocab_k)
+        for fid, r in self.kf_records.items():
+            w = np.asarray(
+                bow.assign_words(
+                    descriptor.unpack_pm1(
+                        jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
+                    ),
+                    self.vocab,
+                )
+            )
+            r["words"] = w
+            self.bow_db.add(fid, w, r["valid"])
+
+    def _attempt_loop_closure(self, fid: int, t: float, frame_data):
+        """(≙ Frontend place recognition + verifyRecognisedPlace +
+        ViSlamBackend::attemptLoopClosure drift gate)."""
+        from okvis2x_tpu.frontend import bow, ransac
+
+        cfg = self.cfg
+        self._maybe_train_vocab()
+        if self.vocab is None or fid not in self.kf_records:
+            return False
+        rec = self.kf_records[fid]
+        words = np.asarray(
+            bow.assign_words(
+                descriptor.unpack_pm1(
+                    jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
+                ),
+                self.vocab,
+            )
+        )
+        rec["words"] = words
+        exclude = {
+            f for f, r in self.kf_records.items()
+            if t - r["t"] < cfg.loop_min_gap_s
+        }
+        res = self.bow_db.query(words, rec["valid"], exclude=exclude, top=3)
+        self.bow_db.add(fid, words, rec["valid"])
+        if not res or res[0][1] < cfg.p_dbow:
+            return False
+        cand_fid, score = res[0]
+        cand = self.kf_records[cand_fid]
+
+        # geometric verification: current descriptors vs candidate's
+        pm1_cur = descriptor.unpack_pm1(
+            jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
+        )
+        pm1_cand = descriptor.unpack_pm1(
+            jnp.asarray(cand["packed"]), jnp.asarray(cand["valid"])
+        )
+        m = matcher.match(
+            pm1_cur, pm1_cand, max_dist=cfg.matching_threshold, mutual=True
+        )
+        mv = np.asarray(m.valid)
+        mi = np.asarray(m.idx_b)
+        # keep pairs whose candidate keypoint has a landmark snapshot
+        has_lm = np.isfinite(cand["lm_pos"][:, 0])
+        keep = np.nonzero(mv & has_lm[mi])[0]
+        if len(keep) < cfg.loop_min_inliers:
+            return False
+        cam = self.cameras[0]
+        rays, ok = pinhole.back_project(cam, jnp.asarray(rec["uv"][keep]))
+        rays = np.asarray(rays)
+        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+        pts = cand["lm_pos"][mi[keep]]
+        okn = np.asarray(ok)
+        depth_guess = np.linalg.norm(
+            pts - self.est.get_state(fid).T_WS[:3], axis=-1
+        )
+        res_r = ransac.absolute_pose_p3p_refined(
+            jax.random.PRNGKey(fid), jnp.asarray(rays), jnp.asarray(pts),
+            jnp.asarray(okn), jnp.asarray(depth_guess), n_hyp=512,
+        )
+        n_inl = int(res_r.num_inliers)
+        if n_inl < cfg.loop_min_inliers:
+            return False
+        # pose of cam0 -> T_WS in the candidate-epoch world frame
+        T_WC0 = np.asarray(res_r.T)
+        T_WS_est = np.asarray(
+            se3.se3_multiply(
+                jnp.asarray(T_WC0),
+                se3.se3_inverse(jnp.asarray(self.T_SC[0])),
+            )
+        )
+        # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
+        T_WS_cur = self.est.get_state(fid).T_WS
+        correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
+        dist = max(self.path_length - cand["path"], 0.5)
+        budget = cfg.drift_percentage / 100.0 * dist + 0.2
+        if correction > budget:
+            return False
+        T_cand_cur = np.asarray(
+            se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(cand["T_WS"])), jnp.asarray(T_WS_est)
+            )
+        )
+        sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
+        if self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
+            self.n_loop_closures += 1
+            # refresh stored keyframe poses after the correction
+            for f2, r2 in self.kf_records.items():
+                st = self.est.archive_frames.get(f2)
+                if st is None:
+                    try:
+                        st = self.est.get_state(f2)
+                    except KeyError:
+                        st = None
+                if st is not None:
+                    r2["T_WS"] = st.T_WS.copy()
+            return True
+        return False
+
     # ------------------------------------------------------------- main loop
     def add_imu_measurement(self, t, gyr, acc):
         self.est.add_imu_measurement(t, gyr, acc)
+
+    def add_gps_measurement(self, t, pos_G, err):
+        self.est.add_gps_measurement(t, pos_G, err)
 
     def process_frame(self, t: float, images: List[np.ndarray]):
         est = self.est
@@ -441,6 +604,19 @@ class VioPipeline:
             for k in np.nonzero(fd.lid >= 0)[0]:
                 self.lm_desc[fd.lid[k]] = fd.packed[k]
 
+        # path length + loop closure on keyframes
+        f = est.get_state(fid)
+        if self.states_log:
+            self.path_length += float(
+                np.linalg.norm(f.T_WS[:3] - self.states_log[-1][1][:3])
+            )
+        looped = False
+        if is_kf and self.cfg.do_loop_closures:
+            self._record_keyframe(fid, t, frame_data)
+            looped = self._attempt_loop_closure(fid, t, frame_data)
+            if looped:
+                est.optimise()
+
         est.marginalise()
         # drop per-frame data for dead frames
         live = {fr.fid for fr in est.frames}
@@ -456,4 +632,5 @@ class VioPipeline:
         return dict(
             fid=fid, is_keyframe=is_kf, n_map=n_map,
             n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),
+            loop_closure=looped,
         )

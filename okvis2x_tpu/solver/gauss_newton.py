@@ -93,19 +93,32 @@ def _scatter_row(block: jax.Array, col, width: int) -> jax.Array:
 
 
 def _linearize_reprojection(p: BAProblem, cams: StackedCameras):
-    """Returns per-obs (r (N,2), Jrow (N,2,P), Jh (N,2,3), w (N,))."""
-    K, P = p.K, p.P
+    """Returns per-obs (r (N,2), Jrow (N,2,P), Jh (N,2,3), valid (N,)).
+
+    The dense rows are assembled with one-hot matmuls instead of scatters —
+    scatters serialise on TPU, while the one-hot contraction is an MXU
+    matmul (this is where the realtime budget lives)."""
+    K, C, P = p.K, p.C, p.P
+    dtype = p.T_WS.dtype
 
     def one(f, c, l, uv, si):
         cam = cams.at(c)
         r, Jp, Jh, Je, valid = reprojection.linearize(
             cam, p.T_WS[f], p.T_SC[c], p.hp_W[l], uv, si
         )
-        row = _scatter_row(Jp, f * 15, P) + _scatter_row(Je, K * 15 + c * 6, P)
-        return r, row, Jh, valid
+        return r, Jp, Je, Jh, valid
 
-    r, Jrow, Jh, valid = jax.vmap(one)(
+    r, Jp, Je, Jh, valid = jax.vmap(one)(
         p.obs_frame, p.obs_cam, p.obs_lm, p.obs_uv, p.obs_sqrt_info
+    )
+    N = r.shape[0]
+    onehot_k = jax.nn.one_hot(p.obs_frame, K, dtype=dtype)  # (N, K)
+    onehot_c = jax.nn.one_hot(p.obs_cam, C, dtype=dtype)  # (N, C)
+    Jp15 = jnp.concatenate([Jp, jnp.zeros((N, 2, 9), dtype)], axis=-1)
+    rows_f = jnp.einsum("nrd,nk->nrkd", Jp15, onehot_k).reshape(N, 2, K * 15)
+    rows_e = jnp.einsum("nrd,nc->nrcd", Je, onehot_c).reshape(N, 2, C * 6)
+    Jrow = jnp.concatenate(
+        [rows_f, rows_e, jnp.zeros((N, 2, 4), dtype)], axis=-1
     )
     valid = valid & p.obs_valid
     return r, Jrow, Jh, valid
@@ -249,13 +262,13 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
     lm_free_f = lm_free.astype(dtype)
     Jh_o = Jh_o * lm_free_f[p.obs_lm][:, None, None]
 
+    # landmark blocks via one-hot matmuls (scatter-free on TPU)
+    onehot_l = jax.nn.one_hot(p.obs_lm, L, dtype=dtype)  # (N, L)
     HtJ = jnp.einsum("nri,nrj->nij", Jh_o, Jh_o)  # (N,3,3)
-    H_ll = jax.ops.segment_sum(HtJ, p.obs_lm, num_segments=L)
-    b_l = -jax.ops.segment_sum(
-        jnp.einsum("nri,nr->ni", Jh_o, r_o), p.obs_lm, num_segments=L
-    )
+    H_ll = jnp.einsum("nl,nij->lij", onehot_l, HtJ)
+    b_l = -jnp.einsum("nl,ni->li", onehot_l, jnp.einsum("nri,nr->ni", Jh_o, r_o))
     Wn = jnp.einsum("nrp,nri->npi", Jrow_o, Jh_o)  # (N,P,3)
-    W = jax.ops.segment_sum(Wn, p.obs_lm, num_segments=L)
+    W = jnp.einsum("nl,npi->lpi", onehot_l, Wn)
 
     # IMU links
     r_i, Jrow_i, valid_i = _linearize_imu(p, cfg)

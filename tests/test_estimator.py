@@ -140,3 +140,66 @@ def test_estimator_vio_bounded_error():
     errs = np.array(errs)
     assert errs[-1] < 0.1, errs
     assert errs.max() < 0.2, errs
+
+
+@pytest.mark.slow
+def test_final_ba_improves_or_holds():
+    """Run the VIO simulation, then full-batch final BA over the archived
+    history (≙ doFinalBa); the trajectory error must stay bounded and the
+    final cost must be finite."""
+    cams, T_SC = make_rig()
+    sim = simulate(duration=3.0)
+    pts = make_landmarks()
+    cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=4, num_imu_frames=3,
+        cap_landmarks=256, cap_obs=2048, cap_imu_links=9,
+        max_iterations=5,
+    )
+    est = SlidingWindowEstimator(cfg, cams, T_SC)
+
+    for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+        if t > sim["t_frames"][0] + 0.01:
+            break
+        est.add_imu_measurement(t, w, a)
+
+    cam = cams[0]
+    lid_by_pt = {}
+    imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+    for k, tf in enumerate(sim["t_frames"]):
+        while imu_idx < len(sim["t_imu"]) and sim["t_imu"][imu_idx] <= tf + 0.005:
+            est.add_imu_measurement(
+                sim["t_imu"][imu_idx], sim["gyr"][imu_idx], sim["acc"][imu_idx]
+            )
+            imu_idx += 1
+        fid = est.add_state(tf)
+        T_WS_gt = sim["T_WS_gt"][k]
+        for c in range(2):
+            T_CW = se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(T_SC[c])),
+                se3.se3_inverse(jnp.asarray(T_WS_gt)),
+            )
+            p_C = np.asarray(jax.vmap(lambda pt: se3.se3_apply(T_CW, pt))(
+                jnp.asarray(pts)))
+            uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+            uv, valid = np.asarray(uv), np.asarray(valid)
+            for i in np.nonzero(valid)[0][:30]:
+                if i not in lid_by_pt:
+                    hp = np.concatenate([pts[i] + RNG.normal(0, 0.05, 3), [1.0]])
+                    lid_by_pt[i] = est.add_landmark(hp)
+                est.add_observation(fid, c, lid_by_pt[i], uv[i] + RNG.normal(0, 0.5, 2))
+        est.set_keyframe(fid, k % 3 == 0)
+        est.optimise()
+        est.marginalise()
+
+    # archived history exists
+    assert len(est.archive_frames) + len(est.frames) > 5
+    assert len(est.arch_obs_fid) > 100
+    cost = est.final_ba(iterations=8)
+    assert np.isfinite(cost) and cost > 0
+    fts, fTs = est.full_trajectory()
+    # compare against ground truth at matching timestamps
+    errs = []
+    for t, T in zip(fts, fTs):
+        k = int(np.argmin(np.abs(sim["t_frames"] - t)))
+        errs.append(np.linalg.norm(T[:3] - sim["T_WS_gt"][k][:3]))
+    assert max(errs) < 0.2, errs

@@ -5,6 +5,7 @@ estimator-style alignment recovery of the 4-dof T_GW."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from okvis2x_tpu.core import se3
 from okvis2x_tpu.factors import gps
@@ -118,3 +119,80 @@ def test_solver_recovers_tgw_alignment():
         se3.quat_conjugate(p_opt.T_GW[3:7]), T_GW_true[3:7]
     )
     assert float(jnp.linalg.norm(se3.quat_log(dq))) < 0.01
+
+
+@pytest.mark.slow
+def test_estimator_gps_alignment_state_machine():
+    """Full estimator run with GNSS fixes in a yawed/offset G frame: the
+    state machine must reach Initialised and recover T_GW
+    (≙ TestEstimatorGpsError.cpp scenario + gpsStatus_ machine)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_estimator import make_rig, simulate, make_landmarks
+    from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
+    from okvis2x_tpu.cameras import pinhole as ph
+
+    rng = np.random.default_rng(17)
+    cams, T_SC = make_rig()
+    sim = simulate(duration=4.0)
+    pts = make_landmarks()
+    cfg = prb_cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=4, num_imu_frames=3,
+        cap_landmarks=256, cap_obs=2048, cap_imu_links=9,
+        max_iterations=5,
+    )
+    est = SlidingWindowEstimator(cfg, cams, T_SC)
+
+    # ground-truth alignment: yaw 0.5, offset (10, -5, 2)
+    yaw = 0.5
+    qz = se3.delta_q(jnp.asarray([0.0, 0.0, yaw], F64))
+    T_GW_true = np.concatenate([[10.0, -5.0, 2.0], np.asarray(qz)])
+
+    for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+        if t > sim["t_frames"][0] + 0.01:
+            break
+        est.add_imu_measurement(t, w, a)
+
+    cam = cams[0]
+    lid_by_pt = {}
+    imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+    next_gps = 0.0
+    for k, tf in enumerate(sim["t_frames"]):
+        while imu_idx < len(sim["t_imu"]) and sim["t_imu"][imu_idx] <= tf + 0.005:
+            est.add_imu_measurement(
+                sim["t_imu"][imu_idx], sim["gyr"][imu_idx], sim["acc"][imu_idx]
+            )
+            imu_idx += 1
+        fid = est.add_state(tf)
+        T_WS_gt = sim["T_WS_gt"][k]
+        for c in range(2):
+            T_CW = se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(T_SC[c])),
+                se3.se3_inverse(jnp.asarray(T_WS_gt)),
+            )
+            p_C = np.asarray(jax.vmap(lambda pt: se3.se3_apply(T_CW, pt))(
+                jnp.asarray(pts)))
+            uv, valid = ph.project(cam, jnp.asarray(p_C))
+            uv, valid = np.asarray(uv), np.asarray(valid)
+            for i in np.nonzero(valid)[0][:30]:
+                if i not in lid_by_pt:
+                    hp = np.concatenate([pts[i] + rng.normal(0, 0.05, 3), [1.0]])
+                    lid_by_pt[i] = est.add_landmark(hp)
+                est.add_observation(fid, c, lid_by_pt[i], uv[i] + rng.normal(0, 0.5, 2))
+        # GPS fixes at 5 Hz from ground truth
+        if tf >= next_gps:
+            p_G = np.asarray(
+                se3.se3_apply(jnp.asarray(T_GW_true, F64), jnp.asarray(T_WS_gt[:3], F64))
+            ) + rng.normal(0, 0.02, 3)
+            est.add_gps_measurement(tf, p_G, np.full(3, 0.02))
+            next_gps = tf + 0.2
+        est.set_keyframe(fid, k % 3 == 0)
+        est.optimise()
+        est.marginalise()
+
+    assert est.gps_status == "Initialised"
+    np.testing.assert_allclose(est.T_GW[:3], T_GW_true[:3], atol=0.15)
+    dq = se3.quat_multiply(
+        se3.quat_conjugate(jnp.asarray(est.T_GW[3:7])), jnp.asarray(T_GW_true[3:7])
+    )
+    assert float(jnp.linalg.norm(se3.quat_log(dq))) < 0.1

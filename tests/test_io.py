@@ -1,0 +1,129 @@
+"""IO tests: config parsing (reference okvis2.yaml schema), extended dataset
+reader (depth/LiDAR/GPS streams), component save/load, trajectory tools."""
+
+import os
+
+import numpy as np
+import pytest
+
+from okvis2x_tpu.io import config as cfg_mod
+from okvis2x_tpu.io import synthetic, trajectory_io, xdataset
+
+
+def test_load_reference_euroc_config():
+    """Parse the reference's actual EuRoC config unchanged."""
+    path = "/root/reference/config/euroc/okvis2.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference config not mounted")
+    vi = cfg_mod.load(path)
+    assert len(vi.cameras) == 2
+    cam = vi.cameras[0].camera
+    assert cam.width == 752 and cam.height == 480
+    np.testing.assert_allclose(
+        np.asarray(cam.fxfycxcy), [458.654880721, 457.296696463, 367.215803962, 248.37534061]
+    )
+    assert cam.model == "radtan"
+    assert vi.imu.sigma_g == pytest.approx(20.0e-4)
+    assert vi.estimator.num_keyframes == 5
+    assert vi.estimator.realtime_max_iterations == 10
+    assert vi.frontend.max_num_keypoints == 700
+    # T_SC position from the yaml matrix
+    np.testing.assert_allclose(
+        vi.cameras[0].T_SC[:3], [-0.0216401454975, -0.064676986768, 0.00981073058949]
+    )
+
+
+def test_more_reference_configs_parse():
+    root = "/root/reference/config"
+    if not os.path.isdir(root):
+        pytest.skip("reference configs not mounted")
+    n = 0
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".yaml") and "se2" not in fn and "calib" not in fn:
+                try:
+                    vi = cfg_mod.load(os.path.join(dirpath, fn))
+                except Exception:
+                    continue  # some are se2/special schemas
+                if vi.cameras:
+                    n += 1
+    assert n >= 5  # most dataset configs parse
+
+
+def test_xdataset_streams(tmp_path):
+    out = str(tmp_path / "ds")
+    cam, T_SC, gt = synthetic.generate(
+        out, duration=1.2, frame_rate=10.0, width=64, height=48,
+        n_points=60, with_gps=True, with_lidar=True,
+    )
+    ds = xdataset.XDataset(out)
+    assert ds.gps is not None and len(ds.gps) > 3
+    assert ds.lidar is not None and len(ds.lidar) > 100
+    kinds = set()
+    n_lidar_pts = 0
+    for kind, ev in ds.events():
+        kinds.add(kind)
+        if kind == "lidar":
+            n_lidar_pts += len(ev.pts)
+    assert {"imu", "frames", "lidar", "gps"} <= kinds
+    assert n_lidar_pts == len(ds.lidar)
+    # gps positions live in a transformed frame (offset ~30 m)
+    assert np.linalg.norm(ds.gps[0, 1:4]) > 20
+
+
+def test_geodetic_enu():
+    lat0, lon0 = np.radians(47.37), np.radians(8.54)
+    enu = xdataset.geodetic_to_enu(
+        np.radians(47.3701), np.radians(8.54), 410.0, lat0, lon0, 400.0
+    )
+    # 0.0001 deg latitude ~ 11.1 m north, 10 m up
+    assert abs(enu[1] - 11.1) < 0.2
+    assert abs(enu[2] - 10.0) < 0.1
+    assert abs(enu[0]) < 0.01
+
+
+def test_component_roundtrip(tmp_path):
+    from okvis2x_tpu.cameras import distortion as dist
+    from okvis2x_tpu.cameras import pinhole
+    from okvis2x_tpu.graph import EstimatorConfig, FrameState, SlidingWindowEstimator
+    from okvis2x_tpu.graph.component import load_component, save_component
+
+    cam = pinhole.make_pinhole(
+        fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=640, height=480,
+        model=dist.NONE,
+    )
+    est = SlidingWindowEstimator(
+        EstimatorConfig(cap_frames=6, cap_landmarks=8, cap_obs=16,
+                        cap_imu_links=5),
+        [cam], np.array([[0, 0, 0, 0, 0, 0, 1.0]]),
+    )
+    for k in range(3):
+        est.frames.append(
+            FrameState(fid=k, timestamp=float(k),
+                       T_WS=np.array([k, 0, 0, 0, 0, 0, 1.0], float),
+                       sb=np.zeros(9), is_keyframe=True)
+        )
+    est.rel_edges.append(
+        dict(i=0, j=1, T_ij=np.array([1, 0, 0, 0, 0, 0, 1.0]),
+             sqrt_info=np.eye(6) * 3)
+    )
+    est.add_landmark(np.array([0.5, 0.5, 3.0, 1.0]))
+
+    path = str(tmp_path / "map.npz")
+    save_component(path, est)
+    c = load_component(path)
+    assert list(c["frame_fids"]) == [0, 1, 2]
+    np.testing.assert_allclose(c["frame_T_WS"][1][:3], [1, 0, 0])
+    assert len(c["edges"]) == 1
+    np.testing.assert_allclose(c["edges"][0]["sqrt_info"], np.eye(6) * 3)
+    assert c["lm_hp"].shape == (1, 4)
+
+
+def test_tum_roundtrip(tmp_path):
+    ts = np.array([0.0, 0.1, 0.2])
+    T = np.tile(np.array([1.0, 2, 3, 0, 0, 0, 1.0]), (3, 1))
+    p = str(tmp_path / "t.tum")
+    trajectory_io.write_tum(p, ts, T)
+    data = np.loadtxt(p)
+    np.testing.assert_allclose(data[:, 0], ts)
+    np.testing.assert_allclose(data[:, 1:4], T[:, :3])

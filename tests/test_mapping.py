@@ -161,3 +161,29 @@ def test_voxel_downsample_device():
     # no duplicates per voxel (collisions may over-thin, never duplicate)
     assert len(np.unique(keys, axis=0)) == len(kept)
     assert len(kept) > 10
+
+
+def test_native_mesh_extraction():
+    """Marching-tetrahedra (native C++) on a synthetic sphere field."""
+    from okvis2x_tpu.mapping import mesh
+
+    n = 24
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    r = np.sqrt(((g - n / 2) ** 2).sum(axis=0))
+    field = 8.0 - r  # positive inside a radius-8 sphere
+    tris = mesh.extract_mesh(field, iso=0.0)
+    assert tris.shape[0] > 100
+    # all vertices near the sphere surface
+    d = np.sqrt(((tris.reshape(-1, 3) - n / 2) ** 2).sum(axis=1))
+    assert np.abs(d - 8.0).max() < 1.0
+
+
+def test_submap_mesh_world_scale():
+    from okvis2x_tpu.mapping import mesh
+
+    sm = make_wall_submap()
+    tris = mesh.submap_mesh(sm, CFG, iso=0.0)
+    assert tris.shape[0] > 50
+    # surface triangles near z = 2 (the wall), within a voxel
+    z = tris[..., 2].ravel()
+    assert np.abs(np.median(z) - 2.0) < 0.3

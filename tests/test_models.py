@@ -1,0 +1,122 @@
+"""Depth-model tests: census stereo, plane-sweep MVS, fusion, learned net
+shape contract (mirrors the role of okvis_apps nn_test.cpp + the depth
+pipeline of Stereo2DepthProcessor/DepthFusionProcessor)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis2x_tpu.core import se3
+from okvis2x_tpu.models import mvs, stereo
+
+RNG = np.random.default_rng(13)
+
+
+def make_stereo_pair(H=96, W=128, disp_true=12.0):
+    """Textured plane at constant disparity."""
+    tex = RNG.uniform(0, 1, (H, W + 64)).astype(np.float32)
+    tex = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(tex)[None, None],
+            (jnp.ones((5, 5), jnp.float32) / 25.0)[None, None],
+            (1, 1), "SAME",
+        )
+    )[0, 0]
+    # standard rectified convention: u_R = u_L - d  (right camera sees the
+    # scene shifted left)
+    left = tex[:, 32 : 32 + W]
+    right = tex[:, 32 + int(disp_true) : 32 + int(disp_true) + W]
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def test_census_stereo_constant_disparity():
+    left, right = make_stereo_pair(disp_true=12.0)
+    disp, sigma_d, valid = stereo.census_stereo(left, right, max_disp=32)
+    v = np.asarray(valid)
+    assert v.mean() > 0.5
+    err = np.abs(np.asarray(disp)[v] - 12.0)
+    assert np.median(err) < 0.5
+    assert np.asarray(sigma_d)[v].mean() < 3.0
+
+
+def test_disparity_to_depth_sigma_propagation():
+    disp = jnp.full((4, 4), 10.0)
+    sd = jnp.full((4, 4), 0.5)
+    out = stereo.disparity_to_depth(disp, sd, jnp.ones((4, 4), bool), fx=400.0, baseline=0.1)
+    np.testing.assert_allclose(np.asarray(out.depth), 4.0)
+    np.testing.assert_allclose(np.asarray(out.sigma), 4.0 * 4.0 / 40.0 * 0.5)
+
+
+def test_fuse_depths():
+    d1 = jnp.full((2, 2), 2.0)
+    s1 = jnp.full((2, 2), 0.1)
+    d2 = jnp.full((2, 2), 3.0)
+    s2 = jnp.full((2, 2), 0.2)
+    d, s = stereo.fuse_depths(d1, s1, d2, s2)
+    # inverse-variance weighting favours the tighter sigma
+    np.testing.assert_allclose(np.asarray(d), (2.0 / 0.01 + 3.0 / 0.04) / (1 / 0.01 + 1 / 0.04))
+    assert float(s[0, 0]) < 0.1
+    # one-sided validity: invalid second map passes through the first
+    d, s = stereo.fuse_depths(d1, s1, jnp.zeros((2, 2)), s2)
+    np.testing.assert_allclose(np.asarray(d), 2.0)
+
+
+def test_plane_sweep_recovers_depth():
+    """Render a textured plane at depth 3 m from two views; MVS must
+    recover ~3 m."""
+    H, W = 80, 96
+    fx = 100.0
+    K = jnp.asarray([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
+    depth_true = 3.0
+    # world texture on plane z=3 (ref cam at origin)
+    tex = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(RNG.uniform(0, 1, (300, 300)).astype(np.float32))[None, None],
+            (jnp.ones((7, 7), jnp.float32) / 49.0)[None, None], (1, 1), "SAME",
+        )
+    )[0, 0]
+
+    def render(T_WC):
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+        rays = np.stack([(xs - W / 2) / fx, (ys - H / 2) / fx, np.ones_like(xs)], -1)
+        C = np.asarray(se3.quat_to_matrix(jnp.asarray(T_WC[3:7])))
+        d_w = rays @ C.T
+        t = np.asarray(T_WC[:3])
+        lam = (depth_true - t[2]) / d_w[..., 2]
+        pw = t + lam[..., None] * d_w
+        # texture lookup: world xy in [-1.5, 1.5] -> 300 px
+        u = (pw[..., 0] + 1.5) / 3.0 * 299
+        v = (pw[..., 1] + 1.5) / 3.0 * 299
+        u = np.clip(u, 0, 298).astype(int)
+        v = np.clip(v, 0, 298).astype(int)
+        return jnp.asarray(tex[v, u], jnp.float32)
+
+    T_ref = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    T_s1 = np.array([0.15, 0, 0, 0, 0, 0, 1.0])
+    T_s2 = np.array([0, 0.15, 0, 0, 0, 0, 1.0])
+    ref = render(T_ref)
+    srcs = jnp.stack([render(T_s1), render(T_s2)])
+    T_ref_src = jnp.asarray(np.stack([T_s1, T_s2]), jnp.float32)
+    out = mvs.plane_sweep(
+        ref, srcs, K.astype(jnp.float32), T_ref_src,
+        min_depth=1.0, max_depth=8.0, num_depths=32,
+    )
+    v = np.asarray(out.valid)
+    assert v.mean() > 0.4
+    med = np.median(np.asarray(out.depth)[v])
+    assert abs(med - depth_true) < 0.3, med
+
+
+@pytest.mark.slow
+def test_stereo_net_contract():
+    from okvis2x_tpu.models.stereo_net import init_stereo_net
+
+    net, params = init_stereo_net(jax.random.PRNGKey(0), 64, 96, max_disp=32)
+    left = jnp.asarray(RNG.uniform(0, 1, (64, 96)), jnp.float32)
+    right = jnp.asarray(RNG.uniform(0, 1, (64, 96)), jnp.float32)
+    disp, sigma = net.apply(params, left, right)
+    assert disp.shape == (64, 96)
+    assert sigma.shape == (64, 96)
+    assert bool(jnp.isfinite(disp).all())
+    assert float(sigma.min()) > 0

@@ -1,0 +1,94 @@
+"""SubmappingInterface lifecycle tests (≙ SubmappingInterface decideNewSubmap,
+integration, re-anchoring, alignment-edge generation)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2x_tpu.cameras import distortion as dist
+from okvis2x_tpu.cameras import pinhole
+from okvis2x_tpu.mapping import submap as sm_mod
+from okvis2x_tpu.pipeline.submapping import SubmappingConfig, SubmappingInterface
+
+CFG = SubmappingConfig(
+    submap=sm_mod.SubmapConfig(dim=64, res=0.2),
+    min_frames_integrated=2,
+    align_points=128,
+)
+
+
+def wall_depth(cam, z=3.0):
+    H, W = cam.height, cam.width
+    return np.full((H, W), z, np.float32)
+
+
+def make_cam():
+    return pinhole.make_pinhole(
+        fx=100.0, fy=100.0, cx=64.0, cy=48.0, width=128, height=96,
+        model=dist.NONE, dtype=jnp.float64,
+    )
+
+
+def test_depth_integration_and_lifecycle():
+    cam = make_cam()
+    edges = []
+    si = SubmappingInterface(CFG, align_callback=edges.append)
+    I = np.array([0, 0, 0, 0, 0, 0, 1.0])
+
+    # integrate a wall from the origin — first call spawns submap 0
+    si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    assert len(si.maps) == 1
+    si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    a = si.active
+    assert a.n_frames == 2
+
+    # same keyframe -> no new submap even at low overlap
+    si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    assert len(si.maps) == 1
+
+    # new keyframe far away, no overlap -> new submap + alignment edge
+    T_far = np.array([100.0, 0, 0, 0, 0, 0, 1.0])
+    si.integrate_depth(1, T_far, T_far, cam, wall_depth(cam))
+    assert len(si.maps) == 2
+    # finishing the first submap fired the alignment callback (may be None
+    # strength-gated; just check the pipeline ran)
+    assert si.maps[0].finished
+
+
+def test_occupied_export(tmp_path):
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    I = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    for _ in range(3):
+        si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    path = os.path.join(tmp_path, "map.ply")
+    n = si.export_occupied_ply(path)
+    assert n > 50
+    assert os.path.exists(path)
+    # occupied voxels concentrated near z=3
+    pts = np.loadtxt(path, skiprows=7)
+    assert np.abs(np.median(pts[:, 2]) - 3.0) < 0.3
+
+
+def test_reanchoring():
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    I = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    si.integrate_depth(5, I, I, cam, wall_depth(cam))
+    T_new = np.array([0.5, 0.2, 0.0, 0, 0, 0, 1.0])
+    si.on_state_update({5: T_new})
+    np.testing.assert_allclose(np.asarray(si.maps[0].sm.T_WK), T_new)
+
+
+def test_overlap_triggers_reuse():
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    I = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    si.integrate_depth(0, I, I, cam, wall_depth(cam))
+    # nearby keyframe with high overlap -> same submap
+    T_near = np.array([0.1, 0.0, 0.0, 0, 0, 0, 1.0])
+    si.integrate_depth(1, T_near, T_near, cam, wall_depth(cam))
+    assert len(si.maps) == 1
+    assert 1 in si.active.kf_ids
