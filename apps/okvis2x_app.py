@@ -40,7 +40,9 @@ def main():
     from okvis2x_tpu.graph import EstimatorConfig
     from okvis2x_tpu.io import euroc, synthetic, trajectory_io
     from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
-    from okvis2x_tpu.utils import timing
+    from okvis2x_tpu.utils import jaxconfig, timing
+
+    jaxconfig.setup()
 
     os.makedirs(args.output, exist_ok=True)
 
@@ -91,6 +93,7 @@ def main():
         n += 1
 
         if submapper is not None and info["is_keyframe"] and len(images) >= 2:
+            import jax
             import jax.numpy as jnp
 
             from okvis2x_tpu.core import se3
@@ -101,9 +104,12 @@ def main():
                 baseline = float(
                     np.linalg.norm(T_SC[1][:3] - T_SC[0][:3])
                 )
-                sd = stereo_mod.stereo_depth(
-                    jnp.asarray(images[0]), jnp.asarray(images[1]),
-                    fx, baseline,
+                if not hasattr(main, "_stereo_jit"):
+                    main._stereo_jit = jax.jit(
+                        lambda l, r: stereo_mod.stereo_depth(l, r, fx, baseline)
+                    )
+                sd = main._stereo_jit(
+                    jnp.asarray(images[0]), jnp.asarray(images[1])
                 )
                 T_WS = info["T_WS"]
                 T_WC = np.asarray(

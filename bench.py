@@ -26,6 +26,9 @@ BASELINE_ITERS_PER_S = 10 / 0.035  # reference realtime budget
 def main():
     from okvis2x_tpu.solver import gauss_newton as gn
     from okvis2x_tpu.testing import synthetic_window_problem
+    from okvis2x_tpu.utils import jaxconfig
+
+    jaxconfig.setup()
 
     iters = 10
     p, cams = synthetic_window_problem(K=8, L=512, N=4096, dtype=jnp.float32)

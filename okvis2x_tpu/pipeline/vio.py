@@ -162,6 +162,38 @@ class VioPipeline:
         uv, valid = pinhole.project_homogeneous(cam, hp_C)
         return np.asarray(uv), np.asarray(valid)
 
+    def _match_map_fn(self, cam_idx: int):
+        """One fused jitted program per camera: project all (padded)
+        landmarks, gate by predicted-projection radius, Hamming-match on the
+        MXU, return best rows + distances."""
+        key = ("matchmap", cam_idx)
+        if key not in self._jit:
+            cfg = self.cfg
+            cam = self.cameras[cam_idx]
+            T_SC_c = jnp.asarray(self.T_SC[cam_idx])
+
+            @jax.jit
+            def run(T_WS, hp, lm_valid, lm_pm1, kp_uv, kp_pm1, kp_valid):
+                T_CW = se3.se3_multiply(
+                    se3.se3_inverse(T_SC_c.astype(T_WS.dtype)),
+                    se3.se3_inverse(T_WS),
+                )
+                hp_C = jax.vmap(lambda h: se3.se3_apply_homogeneous(T_CW, h))(hp)
+                uv_pred, vis = pinhole.project_homogeneous(cam, hp_C)
+                d2 = ((kp_uv[:, None, :] - uv_pred[None, :, :]) ** 2).sum(-1)
+                allowed = (
+                    (d2 < cfg.match_radius_px**2)
+                    & (vis & lm_valid)[None, :]
+                    & kp_valid[:, None]
+                )
+                m = matcher.match_masked(
+                    kp_pm1, lm_pm1, allowed, max_dist=cfg.matching_threshold
+                )
+                return m.idx_b, m.dist, m.valid
+
+            self._jit[key] = run
+        return self._jit[key]
+
     def match_to_map(self, fid: int, frame_data: List[FrameData]):
         """Stage 3 (≙ Frontend::matchToMap): gated Hamming matching of frame
         keypoints against window landmarks; adds observations."""
@@ -170,47 +202,38 @@ class VioPipeline:
         nl = len(est.lm_ids)
         if nl == 0:
             return 0
-        hp = est.hp_W
+        # padded landmark tables (fixed shapes -> one compiled program)
+        Lcap = est.cfg.cap_landmarks
         lids = np.array(est.lm_ids)
-        # landmark descriptor matrix
-        packs = np.stack([self.lm_desc[l] for l in lids])
-        lm_pm1 = descriptor.unpack_pm1(
-            jnp.asarray(packs), jnp.ones(len(lids), bool)
-        )
+        hp = np.tile(np.array([0, 0, 0, 1.0]), (Lcap, 1))
+        hp[:nl] = est.hp_W
+        packs = np.zeros((Lcap, 12), np.uint32)
+        packs[:nl] = np.stack([self.lm_desc[l] for l in lids])
+        lm_valid = np.zeros(Lcap, bool)
+        lm_valid[:nl] = True
+        lm_pm1 = descriptor.unpack_pm1(jnp.asarray(packs), jnp.asarray(lm_valid))
+        hp_j = jnp.asarray(hp)
+        lm_valid_j = jnp.asarray(lm_valid)
+
         T_WS = est.get_state(fid).T_WS
         n_matched = 0
         for c, fd in enumerate(frame_data):
-            uv_pred, vis = self._project_landmarks(c, T_WS, hp)
-            if not vis.any():
-                continue
-            # gating: keypoint within match_radius of predicted projection
-            d2 = (
-                (fd.uv[:, None, :] - uv_pred[None, :, :]) ** 2
-            ).sum(-1)
-            allowed = (
-                (d2 < cfg.match_radius_px**2)
-                & vis[None, :]
-                & fd.valid[:, None]
+            run = self._match_map_fn(c)
+            idx_b, dist, mvalid = run(
+                jnp.asarray(T_WS), hp_j, lm_valid_j, lm_pm1,
+                jnp.asarray(fd.uv), fd.pm1, jnp.asarray(fd.valid),
             )
-            if not allowed.any():
-                continue
-            m = matcher.match_masked(
-                fd.pm1,
-                lm_pm1,
-                jnp.asarray(allowed),
-                max_dist=cfg.matching_threshold,
-            )
-            mv = np.asarray(m.valid)
-            mi = np.asarray(m.idx_b)
+            mv = np.asarray(mvalid)
+            mi = np.asarray(idx_b)
             # one observation per landmark per camera: resolve dups by distance
-            md = np.asarray(m.dist)
+            md = np.asarray(dist)
             order = np.argsort(md)
             used_lm = set()
             for k in order:
                 if not mv[k] or fd.lid[k] >= 0:
                     continue
-                lrow = mi[k]
-                if lrow in used_lm:
+                lrow = int(mi[k])
+                if lrow in used_lm or lrow >= nl:
                     continue
                 used_lm.add(lrow)
                 lid = int(lids[lrow])
