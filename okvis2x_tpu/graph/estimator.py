@@ -108,6 +108,8 @@ class SlidingWindowEstimator:
         self.obs_lid = np.zeros((0,), np.int64)
         self.obs_uv = np.zeros((0, 2))
         self.obs_sigma = np.zeros((0,))
+        self.obs_depth = np.zeros((0,))        # per-keypoint depth prior
+        self.obs_depth_sigma = np.zeros((0,))  # 0 => inactive
 
         # IMU raw measurement buffer (host deque as growing arrays)
         self.imu_t = np.zeros((0,))
@@ -128,6 +130,8 @@ class SlidingWindowEstimator:
         self.arch_obs_lid = np.zeros((0,), np.int64)
         self.arch_obs_uv = np.zeros((0, 2))
         self.arch_obs_sigma = np.zeros((0,))
+        self.arch_obs_depth = np.zeros((0,))
+        self.arch_obs_depth_sigma = np.zeros((0,))
         self.arch_lm: Dict[int, np.ndarray] = {}
 
         # GNSS fusion state machine (≙ ViGraph gpsStatus_,
@@ -331,6 +335,10 @@ class SlidingWindowEstimator:
 
     # ------------------------------------------------------------- landmarks
     def add_landmark(self, hp_W) -> int:
+        """Returns the new landmark id, or -1 when the capacity table is
+        full (callers skip; slots free up at the next marginalisation)."""
+        if len(self.lm_ids) >= self.cfg.cap_landmarks:
+            return -1
         lid = self._next_lid
         self._next_lid += 1
         self.lm_index[lid] = len(self.lm_ids)
@@ -339,7 +347,12 @@ class SlidingWindowEstimator:
         self.lm_quality = np.append(self.lm_quality, 0.0)
         return lid
 
-    def add_observation(self, fid: int, cam: int, lid: int, uv, sigma=None):
+    def add_observation(
+        self, fid: int, cam: int, lid: int, uv, sigma=None,
+        depth: float = 0.0, depth_sigma: float = 0.0,
+    ):
+        """Add a reprojection observation; optionally attach a per-keypoint
+        depth prior (≙ ceres::DepthErrorT; depth_sigma>0 activates it)."""
         self.obs_fid = np.append(self.obs_fid, fid)
         self.obs_cam = np.append(self.obs_cam, cam)
         self.obs_lid = np.append(self.obs_lid, lid)
@@ -347,6 +360,8 @@ class SlidingWindowEstimator:
         self.obs_sigma = np.append(
             self.obs_sigma, self.cfg.keypoint_sigma_px if sigma is None else sigma
         )
+        self.obs_depth = np.append(self.obs_depth, depth)
+        self.obs_depth_sigma = np.append(self.obs_depth_sigma, depth_sigma)
 
     def set_keyframe(self, fid: int, is_kf: bool = True):
         self._frame_by_id(fid).is_keyframe = is_kf
@@ -402,12 +417,20 @@ class SlidingWindowEstimator:
         obs_uv = np.zeros((Ncap, 2))
         obs_si = np.ones(Ncap)
         obs_valid = np.zeros(Ncap, bool)
+        obs_depth = np.ones(Ncap)
+        obs_depth_si = np.ones(Ncap)
+        obs_depth_valid = np.zeros(Ncap, bool)
         obs_frame[:n_obs] = [fid2slot[f] for f in of]
         obs_cam[:n_obs] = self.obs_cam[live]
         obs_lm[:n_obs] = [self.lm_index[l] for l in self.obs_lid[live]]
         obs_uv[:n_obs] = self.obs_uv[live]
         obs_si[:n_obs] = 1.0 / self.obs_sigma[live]
         obs_valid[:n_obs] = True
+        dsig = self.obs_depth_sigma[live]
+        has_d = dsig > 0
+        obs_depth[:n_obs] = np.where(has_d, self.obs_depth[live], 1.0)
+        obs_depth_si[:n_obs] = np.where(has_d, 1.0 / np.maximum(dsig, 1e-12), 1.0)
+        obs_depth_valid[:n_obs] = has_d
 
         # imu links between consecutive IMU-chained frames (recomputed at
         # the current bias; pose-graph frames are excluded — their kinematic
@@ -555,6 +578,9 @@ class SlidingWindowEstimator:
             obs_uv=cvt(obs_uv),
             obs_sqrt_info=cvt(obs_si),
             obs_valid=jnp.asarray(obs_valid),
+            obs_depth=cvt(obs_depth),
+            obs_depth_si=cvt(obs_depth_si),
+            obs_depth_valid=jnp.asarray(obs_depth_valid),
             imu_i=jnp.asarray(imu_i),
             imu_j=jnp.asarray(imu_j),
             imu_pre=pre_batched,
@@ -574,13 +600,15 @@ class SlidingWindowEstimator:
         )
         return p, fid2slot
 
-    def _optimize_fn(self, rcap: int, iters: int, pose_only: bool):
-        key = ("opt", rcap, iters, pose_only)
+    def _optimize_fn(self, rcap: int, iters: int, pose_only: bool,
+                     use_depth: bool = False):
+        key = ("opt", rcap, iters, pose_only, use_depth)
         if key not in self._jit_cache:
             cfg = gn.SolverConfig(
                 max_iterations=iters,
                 imu_params=self.cfg.imu,
                 estimate_landmarks=not pose_only,
+                use_depth=use_depth,
             )
             self._jit_cache[key] = jax.jit(
                 lambda p, cams: gn.optimize(p, cams, cfg)
@@ -593,7 +621,10 @@ class SlidingWindowEstimator:
         if self.frames:
             self._check_gps_dropout(self.frames[-1].timestamp)
         p, fid2slot = self._build_problem()
-        run = self._optimize_fn(int(p.rel_valid.shape[0]), iters, pose_only)
+        use_depth = bool(np.asarray(p.obs_depth_valid).any())
+        run = self._optimize_fn(
+            int(p.rel_valid.shape[0]), iters, pose_only, use_depth
+        )
         p_opt, cost = run(p, self.cams)
         T = np.asarray(p_opt.T_WS)
         sb = np.asarray(p_opt.sb)
@@ -632,6 +663,8 @@ class SlidingWindowEstimator:
             self.obs_lid = self.obs_lid[keep]
             self.obs_uv = self.obs_uv[keep]
             self.obs_sigma = self.obs_sigma[keep]
+            self.obs_depth = self.obs_depth[keep]
+            self.obs_depth_sigma = self.obs_depth_sigma[keep]
 
     def _prune_landmarks(self):
         """Remove landmarks with no remaining observations (their final
@@ -796,6 +829,8 @@ class SlidingWindowEstimator:
         self.obs_lid = self.obs_lid[keep]
         self.obs_uv = self.obs_uv[keep]
         self.obs_sigma = self.obs_sigma[keep]
+        self.obs_depth = self.obs_depth[keep]
+        self.obs_depth_sigma = self.obs_depth_sigma[keep]
 
     def _archive_obs(self, mask: np.ndarray):
         self.arch_obs_fid = np.append(self.arch_obs_fid, self.obs_fid[mask])
@@ -804,6 +839,12 @@ class SlidingWindowEstimator:
         self.arch_obs_uv = np.vstack([self.arch_obs_uv, self.obs_uv[mask]])
         self.arch_obs_sigma = np.append(
             self.arch_obs_sigma, self.obs_sigma[mask]
+        )
+        self.arch_obs_depth = np.append(
+            self.arch_obs_depth, self.obs_depth[mask]
+        )
+        self.arch_obs_depth_sigma = np.append(
+            self.arch_obs_depth_sigma, self.obs_depth_sigma[mask]
         )
 
     # ----------------------------------------------------- loop closure

@@ -88,6 +88,29 @@ def render_image(cam, T_WC, pts, brightness, radius, noise=0.01, seed=0):
     return np.clip(img, 0.0, 1.0)
 
 
+def render_depth(cam, T_WC, pts, r: int = 4):
+    """Depth image matching `render_image`'s splats: each dot's splat window
+    is filled with its camera-frame z; elsewhere 0 (invalid)."""
+    from okvis2x_tpu.cameras import pinhole
+
+    H, W = cam.height, cam.width
+    T_CW = se3.se3_inverse(jnp.asarray(T_WC))
+    p_C = np.asarray(se3.se3_apply(T_CW, jnp.asarray(pts)))
+    uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+    uv = np.asarray(uv)
+    valid = np.asarray(valid) & (p_C[:, 2] > 0.3)
+    depth = np.zeros((H, W), np.float32)
+    order = np.argsort(-p_C[:, 2])  # near dots overwrite far ones
+    for i in order:
+        if not valid[i]:
+            continue
+        cx, cy = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        if not (r <= cx < W - r and r <= cy < H - r):
+            continue
+        depth[cy - r : cy + r + 1, cx - r : cx + r + 1] = p_C[i, 2]
+    return depth
+
+
 def generate(
     out_dir: str,
     duration: float = 5.0,
@@ -101,6 +124,7 @@ def generate(
     seed: int = 3,
     with_gps: bool = False,
     with_lidar: bool = False,
+    with_depth: bool = False,
     gps_rate: float = 5.0,
     gps_sigma: float = 0.05,
 ):
@@ -161,6 +185,26 @@ def generate(
                 name = f"{ns}.png"
                 Image.fromarray((img * 255).astype(np.uint8)).save(
                     os.path.join(root, f"cam{c}", "data", name)
+                )
+                f.write(f"{ns},{name}\n")
+
+    # optional cam0-registered depth stream (depth0/, 16-bit PNG millimetres
+    # — the extended-EuRoC layout XDatasetReader consumes)
+    if with_depth:
+        os.makedirs(os.path.join(root, "depth0", "data"), exist_ok=True)
+        with open(os.path.join(root, "depth0", "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i, t in enumerate(t_frames):
+                ns = t0_ns + int(round(t * 1e9))
+                T_WS = np.concatenate([p[i], q[i]])
+                T_WC = np.asarray(
+                    se3.se3_multiply(jnp.asarray(T_WS), jnp.asarray(T_SC[0]))
+                )
+                dimg = render_depth(cam, T_WC, pts)
+                name = f"{ns}.png"
+                arr = np.clip(dimg * 1000.0, 0, 65535).astype(np.uint16)
+                Image.fromarray(arr).save(
+                    os.path.join(root, "depth0", "data", name)
                 )
                 f.write(f"{ns},{name}\n")
 

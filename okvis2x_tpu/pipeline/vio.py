@@ -58,6 +58,12 @@ class PipelineConfig:
     vocab_k: int = 256
     vocab_min_desc: int = 4000
     p_dbow: float = 0.4
+    # RGB-D: per-keypoint depth priors from depth images
+    # (≙ ceres::DepthErrorT wiring; sigma(d) = sigma0 + scale * d^2)
+    depth_sigma0: float = 0.02
+    depth_sigma_scale: float = 0.0025
+    depth_min: float = 0.1
+    depth_max: float = 25.0
     loop_min_gap_s: float = 5.0
     loop_min_inliers: int = 15
     drift_percentage: float = 1.35  # % of distance travelled
@@ -270,6 +276,8 @@ class VioPipeline:
             est.obs_lid = est.obs_lid[keep]
             est.obs_uv = est.obs_uv[keep]
             est.obs_sigma = est.obs_sigma[keep]
+            est.obs_depth = est.obs_depth[keep]
+            est.obs_depth_sigma = est.obs_depth_sigma[keep]
         return len(bad)
 
     def stereo_initialize(self, fid: int, frame_data: List[FrameData]):
@@ -361,6 +369,8 @@ class VioPipeline:
             i0 = un0[k0row]
             i1 = un1[keep[j]]
             lid = est.add_landmark(hp_W[j])
+            if lid < 0:
+                continue
             self.lm_desc[lid] = fd0.packed[i0]
             fd0.lid[i0] = lid
             fd1.lid[i1] = lid
@@ -433,6 +443,8 @@ class VioPipeline:
                 i_c = un_c[keep[j]]
                 i_k = un_k[jks[j]]
                 lid = est.add_landmark(hp_W[j])
+                if lid < 0:
+                    continue
                 self.lm_desc[lid] = kfd.packed[i_k]
                 fd.lid[i_c] = lid
                 kfd.lid[i_k] = lid
@@ -596,13 +608,93 @@ class VioPipeline:
         return False
 
     # ------------------------------------------------------------- main loop
+    def _sample_depth(self, depth_img: np.ndarray, uv: np.ndarray):
+        """Nearest-pixel depth lookup; returns (d (n,), valid (n,))."""
+        cfg = self.cfg
+        h, w = depth_img.shape[:2]
+        x = np.clip(np.round(uv[:, 0]).astype(int), 0, w - 1)
+        y = np.clip(np.round(uv[:, 1]).astype(int), 0, h - 1)
+        d = depth_img[y, x].astype(np.float64)
+        valid = np.isfinite(d) & (d > cfg.depth_min) & (d < cfg.depth_max)
+        return d, valid
+
+    def attach_depth_priors(self, fid: int, depth_images):
+        """RGB-D path (≙ the reference attaching DepthErrorT terms to
+        observations, ViGraph.hpp:248): sample each depth image at this
+        frame's observation pixels and activate per-keypoint depth priors."""
+        est = self.est
+        cfg = self.cfg
+        n = 0
+        for c, dimg in enumerate(depth_images):
+            if dimg is None:
+                continue
+            sel = np.nonzero((est.obs_fid == fid) & (est.obs_cam == c))[0]
+            if len(sel) == 0:
+                continue
+            d, ok = self._sample_depth(dimg, est.obs_uv[sel])
+            sig = cfg.depth_sigma0 + cfg.depth_sigma_scale * d * d
+            rows = sel[ok]
+            est.obs_depth[rows] = d[ok]
+            est.obs_depth_sigma[rows] = sig[ok]
+            n += len(rows)
+        return n
+
+    def depth_initialize(self, fid: int, frame_data, depth_images):
+        """Create landmarks for unassigned keypoints directly from depth
+        (RGB-D landmark initialisation, depth-known): back-project ray * d
+        into the world, add observation + depth prior."""
+        est = self.est
+        cfg = self.cfg
+        f = est.get_state(fid)
+        n_new = 0
+        cap_left = est.cfg.cap_landmarks - len(est.lm_ids)
+        for c, (fd, dimg) in enumerate(zip(frame_data, depth_images)):
+            if dimg is None:
+                continue
+            un = np.nonzero((fd.lid < 0) & fd.valid)[0]
+            if len(un) == 0:
+                continue
+            d, ok = self._sample_depth(dimg, fd.uv[un])
+            un, d = un[ok], d[ok]
+            if len(un) == 0:
+                continue
+            rays, rv = pinhole.back_project(
+                self.cameras[c], jnp.asarray(fd.uv[un])
+            )
+            rays = np.asarray(rays)
+            T_WC = np.asarray(
+                se3.se3_multiply(
+                    jnp.asarray(f.T_WS), jnp.asarray(self.T_SC[c])
+                )
+            )
+            for k in range(len(un)):
+                if n_new >= cap_left or not bool(np.asarray(rv)[k]):
+                    continue
+                p_C = rays[k] * d[k]
+                p_W = np.asarray(
+                    se3.se3_apply(jnp.asarray(T_WC), jnp.asarray(p_C))
+                )
+                lid = est.add_landmark(np.r_[p_W, 1.0])
+                if lid < 0:
+                    continue
+                sig = cfg.depth_sigma0 + cfg.depth_sigma_scale * d[k] * d[k]
+                est.add_observation(
+                    fid, c, lid, fd.uv[un[k]], depth=d[k], depth_sigma=sig
+                )
+                fd.lid[un[k]] = lid
+                self.lm_desc[lid] = fd.packed[un[k]]
+                n_new += 1
+        return n_new
+
     def add_imu_measurement(self, t, gyr, acc):
         self.est.add_imu_measurement(t, gyr, acc)
 
     def add_gps_measurement(self, t, pos_G, err):
         self.est.add_gps_measurement(t, pos_G, err)
 
-    def process_frame(self, t: float, images: List[np.ndarray]):
+    def process_frame(
+        self, t: float, images: List[np.ndarray], depth_images=None
+    ):
         est = self.est
         fid = est.add_state(t)
         f = est.get_state(fid)
@@ -620,6 +712,9 @@ class VioPipeline:
 
         n_stereo = self.stereo_initialize(fid, frame_data)
         n_motion = self.motion_stereo(fid, frame_data)
+        if depth_images is not None:
+            self.attach_depth_priors(fid, depth_images)
+            n_stereo += self.depth_initialize(fid, frame_data, depth_images)
 
         est.optimise()
         # refresh landmark descriptors with the freshest observation

@@ -78,6 +78,8 @@ class SolverConfig(NamedTuple):
     lambda_down: float = 0.5
     estimate_landmarks: bool = True
     imu_params: ImuParams = ImuParams()
+    depth_onesided: bool = True  # ≙ ceres::OneSidedDepthError
+    use_depth: bool = False  # static: compile depth-prior rows into the solve
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +124,36 @@ def _linearize_reprojection(p: BAProblem, cams: StackedCameras):
     )
     valid = valid & p.obs_valid
     return r, Jrow, Jh, valid
+
+
+def _linearize_depth(p: BAProblem, cfg: SolverConfig):
+    """Per-keypoint depth priors on the same observation rows
+    (≙ ceres::DepthErrorT): returns (r (N,1), Jrow (N,1,P), Jh (N,1,3))."""
+    from okvis2x_tpu.factors import depth as depth_mod
+
+    K, C, P = p.K, p.C, p.P
+    dtype = p.T_WS.dtype
+
+    def one(f, c, l, d, si):
+        return depth_mod.linearize(
+            p.T_WS[f], p.T_SC[c], p.hp_W[l], d, si, cfg.depth_onesided
+        )
+
+    r, Jp, Jl, Je = jax.vmap(one)(
+        p.obs_frame, p.obs_cam, p.obs_lm, p.obs_depth, p.obs_depth_si
+    )
+    N = r.shape[0]
+    onehot_k = jax.nn.one_hot(p.obs_frame, K, dtype=dtype)
+    onehot_c = jax.nn.one_hot(p.obs_cam, C, dtype=dtype)
+    Jp15 = jnp.concatenate([Jp, jnp.zeros((N, 9), dtype)], axis=-1)[:, None, :]
+    rows_f = jnp.einsum("nrd,nk->nrkd", Jp15, onehot_k).reshape(N, 1, K * 15)
+    rows_e = jnp.einsum(
+        "nrd,nc->nrcd", Je[:, None, :], onehot_c
+    ).reshape(N, 1, C * 6)
+    Jrow = jnp.concatenate(
+        [rows_f, rows_e, jnp.zeros((N, 1, 4), dtype)], axis=-1
+    )
+    return r[:, None], Jrow, Jl[:, None, :], p.obs_depth_valid & p.obs_valid
 
 
 def _linearize_imu(p: BAProblem, cfg: SolverConfig):
@@ -270,6 +302,26 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
     Wn = jnp.einsum("nrp,nri->npi", Jrow_o, Jh_o)  # (N,P,3)
     W = jnp.einsum("nl,npi->lpi", onehot_l, Wn)
 
+    # per-keypoint depth priors (share obs rows; Schur-eliminated like reproj)
+    if cfg.use_depth:
+        r_d, Jrow_d, Jh_d, valid_d = _linearize_depth(p, cfg)
+        md = valid_d.astype(dtype)[:, None]
+        r_d = r_d * md
+        Jrow_d = Jrow_d * md[..., None] * fmask[None, None, :]
+        Jh_d = Jh_d * md[..., None] * lm_free_f[p.obs_lm][:, None, None]
+        Jd = Jrow_d.reshape(-1, P)
+        rd = r_d.reshape(-1)
+        H_ff = H_ff + Jd.T @ Jd
+        b_f = b_f - Jd.T @ rd
+        cost = cost + 0.5 * jnp.sum(rd * rd)
+        HtJd = jnp.einsum("nri,nrj->nij", Jh_d, Jh_d)
+        H_ll = H_ll + jnp.einsum("nl,nij->lij", onehot_l, HtJd)
+        b_l = b_l - jnp.einsum(
+            "nl,ni->li", onehot_l, jnp.einsum("nri,nr->ni", Jh_d, r_d)
+        )
+        Wd = jnp.einsum("nrp,nri->npi", Jrow_d, Jh_d)
+        W = W + jnp.einsum("nl,npi->lpi", onehot_l, Wd)
+
     # IMU links
     r_i, Jrow_i, valid_i = _linearize_imu(p, cfg)
     mi = valid_i.astype(dtype)[:, None]
@@ -343,6 +395,17 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
     cost = 0.5 * jnp.sum(
         robust.rho(cfg.reproj_loss, s, cfg.reproj_loss_scale) * valid
     )
+
+    if cfg.use_depth:
+        from okvis2x_tpu.factors import depth as depth_mod
+
+        r_d = jax.vmap(
+            lambda f, c, l, d, si: depth_mod.residual(
+                p.T_WS[f], p.T_SC[c], p.hp_W[l], d, si, cfg.depth_onesided
+            )
+        )(p.obs_frame, p.obs_cam, p.obs_lm, p.obs_depth, p.obs_depth_si)
+        vd = (p.obs_depth_valid & p.obs_valid).astype(dtype)
+        cost = cost + 0.5 * jnp.sum((r_d * vd) ** 2)
 
     def imu_one(i, j, pre, si):
         return imu_factor.residual(

@@ -48,6 +48,10 @@ class BAProblem(NamedTuple):
     obs_uv: jax.Array  # (N, 2)
     obs_sqrt_info: jax.Array  # (N,) scalar whitening (1/sigma_px)
     obs_valid: jax.Array  # (N,) bool
+    # -- per-keypoint depth priors (≙ ceres::DepthErrorT, DepthError.hpp:36) -
+    obs_depth: jax.Array  # (N,) measured depth in camera frame
+    obs_depth_si: jax.Array  # (N,) 1/sigma_depth
+    obs_depth_valid: jax.Array  # (N,) bool
     # -- IMU links ----------------------------------------------------------
     imu_i: jax.Array  # (M,) int32 first frame
     imu_j: jax.Array  # (M,) int32 second frame
@@ -143,6 +147,9 @@ def empty_problem(
         obs_uv=jnp.zeros((N, 2), dtype),
         obs_sqrt_info=jnp.ones((N,), dtype),
         obs_valid=jnp.zeros((N,), bool),
+        obs_depth=jnp.ones((N,), dtype),
+        obs_depth_si=jnp.ones((N,), dtype),
+        obs_depth_valid=jnp.zeros((N,), bool),
         imu_i=jnp.zeros((M,), i32),
         imu_j=jnp.zeros((M,), i32),
         imu_pre=pre,
