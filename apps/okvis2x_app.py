@@ -1,15 +1,18 @@
 #!/usr/bin/env python
-"""Synchronous dataset app: VIO / SLAM / depth-submapping on EuRoC-layout data.
+"""Synchronous dataset app: VIO / SLAM / RGB-D / depth-network / LiDAR
+submapping on EuRoC-layout (and extended) datasets.
 
 The counterpart of the reference's CLI binaries (okvis_apps/src/
-okvis_app_synchronous.cpp, okvis2x_app_synchronous.cpp): reads an
-okvis2.yaml-schema config + a EuRoC ASL dataset directory, runs the pipeline
+okvis_app_synchronous.cpp = --mode vio|slam; okvis2x_app_synchronous.cpp =
+--mode rgbd|lidar; okvis2x_app_network_synchronous.cpp = --mode depth):
+reads an okvis2.yaml-schema config + a dataset directory, runs the pipeline
 synchronously, writes TUM trajectories (online + final-BA), submap exports,
 and reports ATE against ground truth when available.
 
 Usage:
   python apps/okvis2x_app.py --dataset /path/to/MH_01 \
-      [--config config.yaml] [--mode vio|slam|depth] [--output out/] \
+      [--config config.yaml] [--mode vio|slam|depth|rgbd|lidar] \
+      [--reader auto|euroc|xdataset|leica|rpg] [--output out/] \
       [--max-frames N] [--synthetic-test]
 """
 
@@ -23,11 +26,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def pick_reader(name: str, ds_dir: str, num_cams: int):
+    from okvis2x_tpu.io import euroc, leica, rpg, xdataset
+
+    if name == "auto":
+        if os.path.exists(os.path.join(ds_dir, "imu_bottom.csv")):
+            name = "leica"
+        elif os.path.exists(os.path.join(ds_dir, "left_images.txt")):
+            name = "rpg"
+        elif os.path.exists(os.path.join(ds_dir, "mav0", "depth0")) or \
+                os.path.exists(os.path.join(ds_dir, "mav0", "lidar0")) or \
+                os.path.exists(os.path.join(ds_dir, "mav0", "gps0")):
+            name = "xdataset"
+        else:
+            name = "euroc"
+    if name == "euroc":
+        return euroc.EurocDataset(ds_dir, num_cams=num_cams)
+    if name == "xdataset":
+        return xdataset.XDataset(ds_dir, num_cams=num_cams)
+    if name == "leica":
+        return leica.LeicaDataset(ds_dir)
+    if name == "rpg":
+        return rpg.RpgDataset(ds_dir)
+    raise ValueError(name)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", required=False, help="EuRoC dataset dir")
+    ap.add_argument("--dataset", required=False, help="dataset dir")
     ap.add_argument("--config", default=None, help="okvis2.yaml config")
-    ap.add_argument("--mode", default="slam", choices=["vio", "slam", "depth"])
+    ap.add_argument(
+        "--mode", default="slam",
+        choices=["vio", "slam", "depth", "rgbd", "lidar"],
+    )
+    ap.add_argument(
+        "--reader", default="auto",
+        choices=["auto", "euroc", "xdataset", "leica", "rpg"],
+    )
     ap.add_argument("--output", default="out")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument(
@@ -38,7 +73,7 @@ def main():
     args = ap.parse_args()
 
     from okvis2x_tpu.graph import EstimatorConfig
-    from okvis2x_tpu.io import euroc, synthetic, trajectory_io
+    from okvis2x_tpu.io import synthetic, trajectory_io
     from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
     from okvis2x_tpu.utils import jaxconfig, timing
 
@@ -48,8 +83,14 @@ def main():
 
     if args.synthetic_test:
         ds_dir = os.path.join(args.output, "synth")
-        cam, T_SC, gt = synthetic.generate(ds_dir, duration=4.0)
+        cam, T_SC, gt = synthetic.generate(
+            ds_dir, duration=4.0,
+            with_depth=(args.mode == "rgbd"),
+            with_lidar=(args.mode == "lidar"),
+        )
         cameras = [cam, cam]
+        if args.reader == "auto" and args.mode in ("rgbd", "lidar"):
+            args.reader = "xdataset"
     else:
         assert args.dataset, "--dataset required (or use --synthetic-test)"
         ds_dir = args.dataset
@@ -61,15 +102,16 @@ def main():
         T_SC = np.stack([c.T_SC for c in vi.cameras[:2]])
         gt = None
 
-    ds = euroc.EurocDataset(ds_dir, num_cams=len(cameras))
-    if ds.ground_truth is not None:
+    ds = pick_reader(args.reader, ds_dir, len(cameras))
+    if getattr(ds, "ground_truth", None) is not None:
         gt = ds.ground_truth
 
     est_cfg = EstimatorConfig()
     pipe_cfg = PipelineConfig(
         do_loop_closures=(args.mode != "vio"),
     )
-    pipe = VioPipeline(cameras, T_SC, est_cfg, pipe_cfg)
+    vio = VioPipeline(cameras, T_SC, est_cfg, pipe_cfg)
+    pipe = vio
 
     submapper = None
     if args.mode == "depth":
@@ -78,21 +120,48 @@ def main():
         )
 
         submapper = SubmappingInterface(SubmappingConfig())
+    elif args.mode == "lidar":
+        from okvis2x_tpu.pipeline.lidar_vio import LidarVioPipeline
+        from okvis2x_tpu.pipeline.submapping import SubmappingConfig
+
+        pipe = LidarVioPipeline(vio, SubmappingConfig())
+        submapper = pipe.submapper
 
     n = 0
     t0 = time.time()
+    depth_by_t = {}
+    if args.mode == "rgbd" and hasattr(ds, "depth_frames"):
+        depth_by_t = dict(ds.depth_frames)
+
     for kind, data in ds.events():
         if kind == "imu":
             pipe.add_imu_measurement(*data)
             continue
-        if not data.paths[0]:
+        if kind == "gps":
+            t_g, pos, err = data
+            vio.add_gps_measurement(t_g, pos, err)
             continue
-        images = [ds.load_image(p) for p in data.paths]
+        if kind == "lidar":
+            if args.mode == "lidar":
+                with timing.Timer("8 LidarSweep"):
+                    pipe.process_lidar_sweep(data)
+            continue
+        if kind == "depth":
+            continue  # consumed via depth_by_t at the matching frame
+        if kind != "frames" or not data.paths[0]:
+            continue
+        images = [ds.load_image(p) for p in data.paths if p]
         with timing.Timer("1 ProcessFrame"):
-            info = pipe.process_frame(data.t, images)
+            if args.mode == "rgbd":
+                dpath = depth_by_t.get(data.t)
+                dimg = ds.load_depth(dpath) if dpath else None
+                dimgs = [dimg] + [None] * (len(images) - 1)
+                info = vio.process_frame(data.t, images, depth_images=dimgs)
+            else:
+                info = pipe.process_frame(data.t, images)
         n += 1
 
-        if submapper is not None and info["is_keyframe"] and len(images) >= 2:
+        if args.mode == "depth" and info["is_keyframe"] and len(images) >= 2:
             import jax
             import jax.numpy as jnp
 
@@ -127,14 +196,14 @@ def main():
             break
 
     # online trajectory
-    ts = np.array([s[0] for s in pipe.states_log])
-    Ts = np.stack([s[1] for s in pipe.states_log])
+    ts = np.array([s[0] for s in vio.states_log])
+    Ts = np.stack([s[1] for s in vio.states_log])
     trajectory_io.write_tum(os.path.join(args.output, "trajectory.tum"), ts, Ts)
 
     if args.final_ba and args.mode != "vio":
-        cost = pipe.est.final_ba()
+        cost = vio.est.final_ba()
         print(f"final BA cost: {cost:.1f}")
-        fts, fTs = pipe.est.full_trajectory()
+        fts, fTs = vio.est.full_trajectory()
         trajectory_io.write_tum(
             os.path.join(args.output, "final_trajectory.tum"), fts, fTs
         )
@@ -146,7 +215,7 @@ def main():
     if gt is not None:
         ate = trajectory_io.ate_rmse(ts, Ts[:, :3], gt[:, 0], gt[:, 1:4])
         print(f"ATE RMSE (online): {ate:.4f} m over {len(ts)} frames, "
-              f"{pipe.n_loop_closures} loop closures")
+              f"{vio.n_loop_closures} loop closures")
         return ate
     return None
 
