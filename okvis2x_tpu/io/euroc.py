@@ -92,13 +92,11 @@ class EurocDataset:
             self.ground_truth = np.concatenate([t[:, None], p, q_xyzw], axis=1)
 
     def load_image(self, path: str) -> np.ndarray:
-        """Load a grayscale image as float32 in [0, 1]."""
-        from PIL import Image
+        """Load a grayscale image as float32 in [0, 1] (native decoder with
+        PIL fallback, okvis2x_tpu/io/native_loader.py)."""
+        from okvis2x_tpu.io.native_loader import decode_image
 
-        im = Image.open(path)
-        if im.mode != "L":
-            im = im.convert("L")
-        return np.asarray(im, dtype=np.float32) / 255.0
+        return decode_image(path).astype(np.float32) / 255.0
 
     def events(self) -> Iterator[Tuple[str, object]]:
         """Yield ('imu', (t, gyr, acc)) and ('frames', FrameEvent) in

@@ -126,12 +126,11 @@ class LeicaDataset:
                     self.gps.append((r[0] * 1e-9, np.asarray(enu), err))
 
     def load_image(self, path: str) -> np.ndarray:
-        from PIL import Image
+        """Load a grayscale image as float32 in [0, 1] (native decoder with
+        PIL fallback, okvis2x_tpu/io/native_loader.py)."""
+        from okvis2x_tpu.io.native_loader import decode_image
 
-        im = Image.open(path)
-        if im.mode != "L":
-            im = im.convert("L")
-        return np.asarray(im, dtype=np.float32) / 255.0
+        return decode_image(path).astype(np.float32) / 255.0
 
     def events(self) -> Iterator[Tuple[str, object]]:
         """Timestamp-ordered: imu / frames / lidar_sweep / gps."""

@@ -22,6 +22,8 @@ import threading
 import time
 from typing import Callable, Dict, List, Optional
 
+import numpy as np
+
 
 class ShutDown(Exception):
     pass
@@ -160,12 +162,36 @@ class ThreadedRunner:
         self._producer = threading.Thread(target=self._produce, daemon=True)
 
     def _produce(self):
+        # Native worker-pool prefetch: decode every camera image ahead of the
+        # consumer, off the GIL, delivered strictly in event order
+        # (native/dataloader.cpp).  Falls back to per-image load_image.
+        prefetch = None
+        try:
+            from okvis2x_tpu.io.native_loader import ImagePrefetcher, available
+
+            if available():
+                flat = [
+                    p
+                    for kind, ev in self.ds.events()
+                    if kind == "frames" and ev.paths[0]
+                    for p in ev.paths
+                    if p
+                ]
+                prefetch = ImagePrefetcher(flat)
+        except Exception:
+            prefetch = None
+
+        def load(path):
+            if prefetch is not None:
+                return next(prefetch).astype(np.float32) / 255.0
+            return self.ds.load_image(path)
+
         try:
             for kind, ev in self.ds.events():
                 if kind == "frames":
                     if not ev.paths[0]:
                         continue
-                    images = [self.ds.load_image(p) for p in ev.paths if p]
+                    images = [load(p) for p in ev.paths if p]
                     self.q.push_blocking_if_full(("frames", (ev.t, images)))
                 else:
                     self.q.push_blocking_if_full((kind, ev))

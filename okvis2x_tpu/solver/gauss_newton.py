@@ -475,10 +475,15 @@ def solve_normal_equations(
     dx = jnp.linalg.inv(H_red) @ b_red
     dx = jnp.where(jnp.isfinite(dx), dx, jnp.zeros_like(dx))
 
-    # back-substitute landmarks
+    # back-substitute landmarks; guard rank-deficient blocks (landmarks with
+    # too few / degenerate observations have ~zero trace, the relative
+    # damping vanishes and the f32 inverse can blow up or NaN)
     dl = jnp.einsum(
         "lij,lj->li", H_ll_inv, lin.b_l - jnp.einsum("lpi,p->li", lin.W, dx)
     )
+    tr = jnp.einsum("lii->l", lin.H_ll)
+    ok = jnp.isfinite(dl).all(axis=1) & (tr > 10 * jnp.finfo(dtype).tiny)
+    dl = jnp.where(ok[:, None], dl, jnp.zeros_like(dl))
     return dx, dl
 
 

@@ -17,6 +17,8 @@ from okvis2x_tpu.core import se3
 from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
 from okvis2x_tpu.imu.preintegration import ImuParams
 
+# NOTE: helpers below take a fresh seeded generator per call so results do
+# not depend on test execution order (test_gps.py imports them too).
 RNG = np.random.default_rng(7)
 
 
@@ -32,9 +34,11 @@ def make_rig():
     return [cam, cam], T_SC
 
 
-def simulate(duration=4.0, frame_rate=10.0, imu_rate=200.0, imu_noise=True):
+def simulate(duration=4.0, frame_rate=10.0, imu_rate=200.0, imu_noise=True,
+             seed=7):
     """Constant world velocity, slight yaw rate; returns dense IMU + frame
     ground truth."""
+    rng = np.random.default_rng(seed)
     imu = ImuParams()
     v_W = np.array([0.4, 0.0, 0.05])
     yaw_rate = 0.1
@@ -49,8 +53,8 @@ def simulate(duration=4.0, frame_rate=10.0, imu_rate=200.0, imu_noise=True):
     f_S = np.einsum("nji,j->ni", C_WS, -g_W)  # zero accel, gravity only
     w_S = np.einsum("nji,j->ni", C_WS, np.array([0, 0, yaw_rate]))
     if imu_noise:
-        f_S = f_S + RNG.normal(0, imu.sigma_a * np.sqrt(imu_rate), (n, 3))
-        w_S = w_S + RNG.normal(0, imu.sigma_g * np.sqrt(imu_rate), (n, 3))
+        f_S = f_S + rng.normal(0, imu.sigma_a * np.sqrt(imu_rate), (n, 3))
+        w_S = w_S + rng.normal(0, imu.sigma_g * np.sqrt(imu_rate), (n, 3))
 
     t_frames = np.arange(0.2, duration, 1.0 / frame_rate)
     fq = np.stack(
@@ -65,11 +69,12 @@ def simulate(duration=4.0, frame_rate=10.0, imu_rate=200.0, imu_noise=True):
     )
 
 
-def make_landmarks(n=160):
+def make_landmarks(n=160, seed=8):
     """Grid of landmarks along the trajectory corridor."""
-    x = RNG.uniform(-1.0, 4.0, n)
-    y = RNG.uniform(1.5, 4.0, n)  # in front (camera looks +y? no: +z)
-    z = RNG.uniform(-1.5, 1.5, n)
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 4.0, n)
+    y = rng.uniform(1.5, 4.0, n)  # in front (camera looks +y? no: +z)
+    z = rng.uniform(-1.5, 1.5, n)
     # cameras look along +z of S (identity extrinsic rotation): put points ahead in z
     pts = np.stack([x, z, y], -1)
     return pts
