@@ -87,11 +87,42 @@ class SolverConfig(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _scatter_row(block: jax.Array, col, width: int) -> jax.Array:
-    """Place a (rows, w) block into a zero (rows, width) row at column `col`."""
-    out = jnp.zeros((block.shape[0], width), dtype=block.dtype)
-    col = jnp.asarray(col, jnp.int32)
-    return jax.lax.dynamic_update_slice(out, block, (jnp.int32(0), col))
+def _frame_rows(p: BAProblem, blocks, tgw: jax.Array | None = None) -> jax.Array:
+    """Assemble batched dense Jacobian rows (n, r, P) from per-frame blocks.
+
+    `blocks` is a list of (J (n, r, 15), frame_idx (n,)) pairs; each block is
+    placed at column frame_idx*15 with a one-hot contraction (an MXU matmul)
+    instead of a vmapped dynamic_update_slice — scatters serialise on TPU and
+    cost ~0.25 ms per factor family at window sizes where the whole
+    linearization should take ~0.1 ms.  `tgw` optionally fills the trailing
+    4-dof T_GW columns."""
+    K, C = p.K, p.C
+    J0, _ = blocks[0]
+    n, r = J0.shape[:2]
+    dtype = J0.dtype
+    acc = None
+    for J, idx in blocks:
+        onehot = jax.nn.one_hot(idx, K, dtype=dtype)  # (n, K)
+        rows = jnp.einsum("nrd,nk->nrkd", J, onehot).reshape(n, r, K * 15)
+        acc = rows if acc is None else acc + rows
+    tail_e = jnp.zeros((n, r, C * 6), dtype)
+    tail_g = tgw if tgw is not None else jnp.zeros((n, r, 4), dtype)
+    return jnp.concatenate([acc, tail_e, tail_g], axis=-1)
+
+
+def _pad15(J: jax.Array, col0: int) -> jax.Array:
+    """Zero-pad a (n, r, w) block into the 15-wide per-frame layout at
+    sub-column `col0` (0 = pose, 6 = speed/bias)."""
+    n, r, w = J.shape
+    dtype = J.dtype
+    return jnp.concatenate(
+        [
+            jnp.zeros((n, r, col0), dtype),
+            J,
+            jnp.zeros((n, r, 15 - col0 - w), dtype),
+        ],
+        axis=-1,
+    )
 
 
 def _linearize_reprojection(p: BAProblem, cams: StackedCameras):
@@ -157,8 +188,6 @@ def _linearize_depth(p: BAProblem, cfg: SolverConfig):
 
 
 def _linearize_imu(p: BAProblem, cfg: SolverConfig):
-    P = p.P
-
     def one(i, j, pre, si):
         def f(d0, dsb0, d1, dsb1):
             return imu_factor.residual_on_manifold(
@@ -170,16 +199,16 @@ def _linearize_imu(p: BAProblem, cfg: SolverConfig):
         z9 = jnp.zeros(9, p.T_WS.dtype)
         r = f(z6, z9, z6, z9)
         J0, Jsb0, J1, Jsb1 = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z6, z9, z6, z9)
-        row = _scatter_row(jnp.concatenate([J0, Jsb0], axis=1), i * 15, P)
-        row = row + _scatter_row(jnp.concatenate([J1, Jsb1], axis=1), j * 15, P)
-        return r, row
+        return r, jnp.concatenate([J0, Jsb0], axis=1), jnp.concatenate(
+            [J1, Jsb1], axis=1
+        )
 
-    r, Jrow = jax.vmap(one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
+    r, Ji, Jj = jax.vmap(one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
+    Jrow = _frame_rows(p, [(Ji, p.imu_i), (Jj, p.imu_j)])
     return r, Jrow, p.imu_valid
 
 
 def _linearize_priors(p: BAProblem):
-    P = p.P
     dtype = p.T_WS.dtype
 
     def pose_one(k, Tp, si):
@@ -187,16 +216,16 @@ def _linearize_priors(p: BAProblem):
             return priors.pose_prior_residual(Tp, se3.retract(p.T_WS[k], d), si)
 
         z = jnp.zeros(6, dtype)
-        return f(z), _scatter_row(jax.jacfwd(f)(z), k * 15, P)
+        return f(z), jax.jacfwd(f)(z)
 
     ks = jnp.arange(p.K, dtype=jnp.int32)
-    r_pp, J_pp = jax.vmap(pose_one)(ks, p.pose_prior_T, p.pose_prior_sqrt_info)
+    r_pp, Jp = jax.vmap(pose_one)(ks, p.pose_prior_T, p.pose_prior_sqrt_info)
+    J_pp = _frame_rows(p, [(_pad15(Jp, 0), ks)])
 
-    def sb_one(k, sbp, si):
-        r = priors.speed_bias_prior_residual(sbp, p.sb[k], si)
-        return r, _scatter_row(si, k * 15 + 6, P)
-
-    r_sb, J_sb = jax.vmap(sb_one)(ks, p.sb_prior, p.sb_prior_sqrt_info)
+    r_sb = jax.vmap(priors.speed_bias_prior_residual)(
+        p.sb_prior, p.sb, p.sb_prior_sqrt_info
+    )
+    J_sb = _frame_rows(p, [(_pad15(p.sb_prior_sqrt_info, 6), ks)])
     return (r_pp, J_pp, p.pose_prior_valid), (r_sb, J_sb, p.sb_prior_valid)
 
 
@@ -205,10 +234,7 @@ def _linearize_gps(p: BAProblem, cfg: SolverConfig):
     (host frame pose+sb block, 4-dof T_GW block)."""
     from okvis2x_tpu.factors import gps as gps_mod
 
-    P = p.P
-    K, C = p.K, p.C
     dtype = p.T_WS.dtype
-    tgw_col = K * 15 + C * 6
 
     def one(fi, pre, p_G, si):
         def f(dpose, dsb, d4):
@@ -222,16 +248,14 @@ def _linearize_gps(p: BAProblem, cfg: SolverConfig):
         z4 = jnp.zeros(4, dtype)
         r = f(z6, z9, z4)
         Jp, Jsb, J4 = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z9, z4)
-        row = _scatter_row(jnp.concatenate([Jp, Jsb], axis=1), fi * 15, P)
-        row = row + _scatter_row(J4, tgw_col, P)
-        return r, row
+        return r, jnp.concatenate([Jp, Jsb], axis=1), J4
 
-    r, Jrow = jax.vmap(one)(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
+    r, Jf, J4 = jax.vmap(one)(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
+    Jrow = _frame_rows(p, [(Jf, p.gps_frame)], tgw=J4)
     return r, Jrow, p.gps_valid
 
 
 def _linearize_rel(p: BAProblem):
-    P = p.P
     dtype = p.T_WS.dtype
 
     def one(i, j, Trel, si):
@@ -243,9 +267,12 @@ def _linearize_rel(p: BAProblem):
         z = jnp.zeros(6, dtype)
         r = f(z, z)
         Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(z, z)
-        return r, _scatter_row(Ji, i * 15, P) + _scatter_row(Jj, j * 15, P)
+        return r, Ji, Jj
 
-    r, Jrow = jax.vmap(one)(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+    r, Ji, Jj = jax.vmap(one)(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+    Jrow = _frame_rows(
+        p, [(_pad15(Ji, 0), p.rel_i), (_pad15(Jj, 0), p.rel_j)]
+    )
     return r, Jrow, p.rel_valid
 
 
@@ -322,50 +349,27 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
         Wd = jnp.einsum("nrp,nri->npi", Jrow_d, Jh_d)
         W = W + jnp.einsum("nl,npi->lpi", onehot_l, Wd)
 
-    # IMU links
-    r_i, Jrow_i, valid_i = _linearize_imu(p, cfg)
-    mi = valid_i.astype(dtype)[:, None]
-    r_i = r_i * mi
-    Jrow_i = Jrow_i * mi[..., None] * fmask[None, None, :]
-    Ji = Jrow_i.reshape(-1, P)
-    ri = r_i.reshape(-1)
-    H_ff = H_ff + Ji.T @ Ji
-    b_f = b_f - Ji.T @ ri
-    cost = cost + 0.5 * jnp.sum(ri * ri)
-
-    # priors
+    # IMU links, priors, relative-pose and GNSS factors: every small dense-row
+    # family masked then stacked into ONE (M, P) system — a single MXU matmul
+    # instead of four ~0.25 ms kernel chains.
     (r_pp, J_pp, v_pp), (r_sb, J_sb, v_sb) = _linearize_priors(p)
-    for r_, J_, v_ in ((r_pp, J_pp, v_pp), (r_sb, J_sb, v_sb)):
-        m = v_.astype(dtype)[:, None]
-        r_ = r_ * m
-        J_ = J_ * m[..., None] * fmask[None, None, :]
-        Jf = J_.reshape(-1, P)
-        rf = r_.reshape(-1)
-        H_ff = H_ff + Jf.T @ Jf
-        b_f = b_f - Jf.T @ rf
-        cost = cost + 0.5 * jnp.sum(rf * rf)
-
-    # relative pose edges
-    r_r, Jrow_r, valid_r = _linearize_rel(p)
-    mr = valid_r.astype(dtype)[:, None]
-    r_r = r_r * mr
-    Jrow_r = Jrow_r * mr[..., None] * fmask[None, None, :]
-    Jr = Jrow_r.reshape(-1, P)
-    rr = r_r.reshape(-1)
-    H_ff = H_ff + Jr.T @ Jr
-    b_f = b_f - Jr.T @ rr
-    cost = cost + 0.5 * jnp.sum(rr * rr)
-
-    # GNSS factors
-    r_g, Jrow_g, valid_g = _linearize_gps(p, cfg)
-    mg = valid_g.astype(dtype)[:, None]
-    r_g = r_g * mg
-    Jrow_g = Jrow_g * mg[..., None] * fmask[None, None, :]
-    Jg = Jrow_g.reshape(-1, P)
-    rg = r_g.reshape(-1)
-    H_ff = H_ff + Jg.T @ Jg
-    b_f = b_f - Jg.T @ rg
-    cost = cost + 0.5 * jnp.sum(rg * rg)
+    fams = [
+        _linearize_imu(p, cfg),
+        (r_pp, J_pp, v_pp),
+        (r_sb, J_sb, v_sb),
+        _linearize_rel(p),
+        _linearize_gps(p, cfg),
+    ]
+    rs, Js = [], []
+    for r_, J_, v_ in fams:
+        m = v_.astype(dtype)
+        rs.append((r_ * m[:, None]).reshape(-1))
+        Js.append((J_ * m[:, None, None]).reshape(-1, P))
+    r_s = jnp.concatenate(rs)
+    J_s = jnp.concatenate(Js) * fmask[None, :]
+    H_ff = H_ff + J_s.T @ J_s
+    b_f = b_f - J_s.T @ r_s
+    cost = cost + 0.5 * jnp.sum(r_s * r_s)
 
     # gauge fixing for frozen / invalid params
     fmask_b = fmask > 0
@@ -444,6 +448,36 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
     return cost
 
 
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate/determinant).
+
+    Pure elementwise ops that fuse into neighbouring kernels — XLA's batched
+    LU `linalg.inv` costs ~6x more at (L, 3, 3) shapes on TPU."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    co_d = -(b * i - c * h)
+    co_e = a * i - c * g
+    co_f = -(a * h - b * g)
+    co_g = b * f - c * e
+    co_h = -(a * f - c * d)
+    co_i = a * e - b * d
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, co_d, co_g], axis=-1),
+            jnp.stack([co_b, co_e, co_h], axis=-1),
+            jnp.stack([co_c, co_f, co_i], axis=-1),
+        ],
+        axis=-2,
+    )
+    safe = jnp.where(jnp.abs(det) > jnp.finfo(m.dtype).tiny, det, 1.0)
+    return adj / safe[..., None, None]
+
+
 def solve_normal_equations(
     lin: Linearization, lam: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -457,7 +491,7 @@ def solve_normal_equations(
     H_ll_d = lin.H_ll + (lam + 1e-12) * jnp.einsum(
         "lii->l", lin.H_ll
     )[:, None, None] / 3.0 * eye3 + 1e-10 * eye3
-    H_ll_inv = jnp.linalg.inv(H_ll_d) * lm_free_f  # masked: fixed lms contribute 0
+    H_ll_inv = _inv3x3(H_ll_d) * lm_free_f  # masked: fixed lms contribute 0
 
     # Schur complement onto the frame system
     WHinv = jnp.einsum("lpi,lij->lpj", lin.W, H_ll_inv)  # (L,P,3)
