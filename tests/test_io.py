@@ -33,6 +33,52 @@ def test_load_reference_euroc_config():
     )
 
 
+def test_gps_lidar_output_sections_parse():
+    """GPS (gvins) and LiDAR (hilti22) optional sections + camera/output
+    parameter groups (≙ ViParametersReader.cpp:224-237,241-263,348-367)."""
+    gvins = "/root/reference/config/gvins/okvis2.yaml"
+    hilti = "/root/reference/config/hilti22/okvis2-lidar.yaml"
+    if not os.path.exists(gvins) or not os.path.exists(hilti):
+        pytest.skip("reference configs not mounted")
+    vi = cfg_mod.load(gvins)
+    assert vi.gps is not None
+    assert vi.gps.data_type in ("cartesian", "geodetic", "geodetic-leica")
+    assert vi.gps.r_SA.shape == (3,)
+    assert vi.lidar is None
+    assert isinstance(vi.camera.online_calibration.do_extrinsics, bool)
+    assert vi.camera.timestamp_tolerance > 0
+
+    vl = cfg_mod.load(hilti)
+    assert vl.lidar is not None
+    assert vl.lidar.T_SL.shape == (7,)
+    q = vl.lidar.T_SL[3:7]
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-9)
+    assert isinstance(vl.output.enable_submapping, bool)
+    assert vl.imu_use is True
+    assert vl.s_a.shape == (3,)
+
+
+def test_se2_submap_config():
+    """se2.yaml schema → SubMapConfig (≙ config_mapping.hpp:27-106)."""
+    path = "/root/reference/config/euroc/se2.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference configs not mounted")
+    sc = cfg_mod.load_submap_config(path)
+    assert sc.submap_kf_threshold == 20
+    assert sc.submap_overlap_ratio == pytest.approx(0.1)
+    assert sc.submap_min_frames == 40
+    assert sc.num_submap_factors == 200
+    assert sc.sensor_error == pytest.approx(0.4)
+    assert sc.use_map_to_map_factors and sc.use_map_to_live_factors
+    assert sc.map_dim == (25.6, 25.6, 25.6)
+    assert sc.map_res == pytest.approx(0.025)
+    assert sc.data.log_odd_max == pytest.approx(5.015)
+    assert sc.data.uncertainty_model == "quadratic"
+    assert sc.near_plane == pytest.approx(0.4)
+    # defaults survive on a minimal doc
+    assert cfg_mod.SubMapConfig().submap_kf_threshold == 5
+
+
 def test_more_reference_configs_parse():
     root = "/root/reference/config"
     if not os.path.isdir(root):
