@@ -72,12 +72,15 @@ def main():
     ap.add_argument("--final-ba", action="store_true", default=True)
     args = ap.parse_args()
 
-    from okvis2x_tpu.graph import EstimatorConfig
-    from okvis2x_tpu.io import synthetic, trajectory_io
-    from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
+    # configure JAX (platform override, compile cache) BEFORE importing any
+    # module with jnp constants — those initialise the default backend
     from okvis2x_tpu.utils import jaxconfig, timing
 
     jaxconfig.setup()
+
+    from okvis2x_tpu.graph import EstimatorConfig
+    from okvis2x_tpu.io import synthetic, trajectory_io
+    from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
 
     os.makedirs(args.output, exist_ok=True)
 
@@ -109,6 +112,9 @@ def main():
     est_cfg = EstimatorConfig()
     pipe_cfg = PipelineConfig(
         do_loop_closures=(args.mode != "vio"),
+        # dual-graph mode: full-graph optimisation overlaps the realtime
+        # window on a background thread (synchronised on later frames)
+        async_loop_closure=(args.mode != "vio"),
     )
     vio = VioPipeline(cameras, T_SC, est_cfg, pipe_cfg)
     pipe = vio
@@ -194,6 +200,8 @@ def main():
                   f"kf={info['is_keyframe']} map={info['n_map']}")
         if args.max_frames and n >= args.max_frames:
             break
+
+    vio.finish()  # drain + synchronise any in-flight full-graph optimisation
 
     # online trajectory
     ts = np.array([s[0] for s in vio.states_log])

@@ -859,31 +859,51 @@ class SlidingWindowEstimator:
         edges = list(self.archive_edges) + list(self.rel_edges)
         return nodes, edges
 
-    def close_loop(
+    def add_loop_edge(
         self,
         fid_cur: int,
         fid_cand: int,
         T_cand_cur: np.ndarray,
         sqrt_info: np.ndarray,
-        iterations: int = 10,
     ) -> bool:
-        """Accepted loop closure: add the loop edge, optimise the full pose
-        graph, and rigidly correct the active window + landmarks
-        (≙ ViSlamBackend::addLoopClosureFrame + optimiseFullGraph +
-        synchroniseRealtimeAndFullGraph, simplified to a pose-graph stage).
-        """
-        from okvis2x_tpu.graph import posegraph
-
-        nodes, edges = self.pose_graph()
-        fids = [f.fid for f in nodes]
-        if fid_cur not in fids or fid_cand not in fids:
+        """Persist an accepted loop-closure constraint as a long-term
+        pose-graph edge (≙ ViSlamBackend::addLoopClosureFrame's pose-graph
+        part, okvis_ceres/src/ViSlamBackend.cpp:1418)."""
+        known = {f.fid for f in self.frames} | set(self.archive_frames)
+        if fid_cur not in known or fid_cand not in known:
             return False
+        self.archive_edges.append(
+            dict(
+                i=fid_cand, j=fid_cur,
+                T_ij=np.asarray(T_cand_cur, np.float64),
+                sqrt_info=np.asarray(sqrt_info, np.float64),
+                loop=True,
+            )
+        )
+        return True
+
+    def snapshot_pose_graph(self) -> Optional[dict]:
+        """Immutable snapshot of the long-term pose graph (all keyframe
+        poses + relative/loop edges, with odometry fill-in between
+        consecutive nodes lacking any edge).  This is the explicit-handoff
+        equivalent of the reference's second `fullGraph_`
+        (ViSlamBackend.hpp:724-743): the background optimiser works on the
+        snapshot while the realtime window keeps evolving; states created
+        after the snapshot form the backlog replayed by
+        `apply_pose_graph_result`."""
+        nodes, edges = self.pose_graph()
+        if len(nodes) < 2:
+            return None
+        fids = [f.fid for f in nodes]
         idx = {fid: i for i, fid in enumerate(fids)}
 
-        # odometry fill-in between consecutive nodes lacking any edge
         connected = {(min(e["i"], e["j"]), max(e["i"], e["j"])) for e in edges}
-        all_edges = list(edges)
+        all_edges = [
+            e for e in edges if e["i"] in idx and e["j"] in idx
+        ]
         for a, b in zip(nodes[:-1], nodes[1:]):
+            if (a.fid < 0) != (b.fid < 0):
+                continue  # never glue a loaded component to the session
             key = (min(a.fid, b.fid), max(a.fid, b.fid))
             if key not in connected:
                 T_ij = np.asarray(
@@ -894,59 +914,168 @@ class SlidingWindowEstimator:
                 all_edges.append(
                     dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 50.0)
                 )
-        all_edges.append(
-            dict(i=fid_cand, j=fid_cur, T_ij=np.asarray(T_cand_cur),
-                 sqrt_info=np.asarray(sqrt_info))
-        )
 
         K = len(nodes)
         T = np.stack([f.T_WS for f in nodes])
-        fixed = np.zeros(K, bool)
+        fixed = np.array([f.pose_fixed for f in nodes], bool)
         fixed[0] = True
-        ei = np.array([idx[e["i"]] for e in all_edges], np.int64)
-        ej = np.array([idx[e["j"]] for e in all_edges], np.int64)
-        eT = np.stack([e["T_ij"] for e in all_edges])
-        eS = np.stack([e["sqrt_info"] for e in all_edges])
-        T_opt, cost = posegraph.optimize_pose_graph(
-            T, fixed, ei, ej, eT, eS, iterations=iterations,
-            dtype=self.cfg.dtype,
+        return dict(
+            fids=fids,
+            T=T,
+            fixed=fixed,
+            ei=np.array([idx[e["i"]] for e in all_edges], np.int64),
+            ej=np.array([idx[e["j"]] for e in all_edges], np.int64),
+            eT=np.stack([e["T_ij"] for e in all_edges]),
+            eS=np.stack([e["sqrt_info"] for e in all_edges]),
         )
+
+    def apply_pose_graph_result(
+        self, fids: List[int], T_opt: np.ndarray
+    ) -> bool:
+        """Write an optimised pose-graph solution back and replay the
+        backlog: snapshot nodes still known get their optimised poses;
+        every state created (or kept active) since the snapshot is rigidly
+        corrected by the anchor's pose change, velocities rotated and
+        landmarks transformed along (≙ synchroniseRealtimeAndFullGraph,
+        okvis_ceres/src/ViSlamBackend.cpp:1589-1870)."""
+        T_opt = np.asarray(T_opt)
         if not np.all(np.isfinite(T_opt)):
             return False
+        idx = {fid: i for i, fid in enumerate(fids)}
 
-        # write back pose-graph nodes
-        for f, Tn in zip(nodes, T_opt):
-            f.T_WS = Tn.copy()
-
-        # rigid correction of the active (IMU-chained) segment + landmarks,
-        # anchored at the newest pose-graph-optimised keyframe
-        active = [f for f in self.frames if not f.pose_graph_frame]
+        # anchor = newest live window frame that was part of the snapshot;
+        # its *current* realtime pose defines the correction for the backlog
         anchor = None
         for f in reversed(self.frames):
             if f.fid in idx:
                 anchor = f
                 break
+        dT = None
         if anchor is not None:
-            i_a = idx[anchor.fid]
-            T_old = jnp.asarray(
-                np.concatenate([T[i_a][:3], T[i_a][3:7]])
-            )
-            T_new = jnp.asarray(T_opt[i_a])
+            T_old = jnp.asarray(anchor.T_WS.copy())
+            T_new = jnp.asarray(T_opt[idx[anchor.fid]])
             dT = se3.se3_multiply(T_new, se3.se3_inverse(T_old))
-            dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT)))
-            for f in active:
-                if f.fid in idx:
-                    continue  # already set from the pose graph
-                f.T_WS = np.asarray(
-                    se3.se3_multiply(dT, jnp.asarray(f.T_WS))
-                )
-                f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
-            if len(self.hp_W):
-                hp = jnp.asarray(self.hp_W)
-                self.hp_W = np.asarray(
-                    jax.vmap(lambda h: se3.se3_apply_homogeneous(dT, h))(hp)
-                )
+
+        # write back optimised poses to every snapshot node still known
+        window = {f.fid: f for f in self.frames}
+        for fid, Tn in zip(fids, T_opt):
+            f = self.archive_frames.get(fid) or window.get(fid)
+            if f is not None:
+                f.T_WS = np.asarray(Tn).copy()
+
+        if dT is None:
+            return True
+        dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT)))
+        for f in self.frames:
+            if f.fid in idx or f.pose_graph_frame:
+                continue
+            f.T_WS = np.asarray(se3.se3_multiply(dT, jnp.asarray(f.T_WS)))
+            f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
+        if len(self.hp_W):
+            hp = jnp.asarray(self.hp_W)
+            self.hp_W = np.asarray(
+                jax.vmap(lambda h: se3.se3_apply_homogeneous(dT, h))(hp)
+            )
         return True
+
+    def rigid_transform(self, dT: np.ndarray, session_only: bool = True):
+        """Rigidly move the estimate by dT (left-multiplied world-frame
+        correction): poses, velocities, landmarks.  With `session_only`,
+        loaded-component frames (fid < 0) stay put — used to align the
+        running session onto a loaded map at first relocalisation."""
+        dT_j = jnp.asarray(np.asarray(dT, np.float64))
+        dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT_j)))
+        for f in list(self.frames) + list(self.archive_frames.values()):
+            if session_only and f.fid < 0:
+                continue
+            f.T_WS = np.asarray(se3.se3_multiply(dT_j, jnp.asarray(f.T_WS)))
+            f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
+        if len(self.hp_W):
+            self.hp_W = np.asarray(
+                jax.vmap(lambda h: se3.se3_apply_homogeneous(dT_j, h))(
+                    jnp.asarray(self.hp_W)
+                )
+            )
+        for lid in list(self.arch_lm.keys()):
+            self.arch_lm[lid] = np.asarray(
+                se3.se3_apply_homogeneous(dT_j, jnp.asarray(self.arch_lm[lid]))
+            )
+        if self.prior_T is not None:
+            self.prior_T = np.asarray(
+                se3.se3_multiply(dT_j, jnp.asarray(self.prior_T))
+            )
+
+    def import_component_frames(
+        self, frame_fids, frame_ts, frame_T_WS, edges, fixed: bool = True
+    ) -> Dict[int, int]:
+        """Add a loaded session's keyframes + pose-graph edges as (fixed)
+        archive nodes with negative frame ids (≙ Frontend::loadComponent
+        keeping components separate from the live graph,
+        okvis_frontend/src/Frontend.cpp:163-201).  Returns the old→new fid
+        map.  Component timestamps are shifted to strictly precede any
+        session state so time-ordering stays consistent."""
+        existing_neg = [f for f in self.archive_frames if f < 0]
+        base = (min(existing_neg) if existing_neg else 0) - 1
+        fid_map = {
+            int(old): base - k for k, old in enumerate(frame_fids)
+        }
+        ts = np.asarray(frame_ts, np.float64)
+        session_t0 = min(
+            [f.timestamp for f in self.frames]
+            + [f.timestamp for f in self.archive_frames.values()]
+            + [0.0]
+        )
+        shift = session_t0 - float(ts.max()) - 1e6
+        for old, t, T in zip(frame_fids, ts, frame_T_WS):
+            self.archive_frames[fid_map[int(old)]] = FrameState(
+                fid=fid_map[int(old)],
+                timestamp=float(t) + shift,
+                T_WS=np.asarray(T, np.float64).copy(),
+                sb=np.zeros(9),
+                is_keyframe=True,
+                pose_fixed=fixed,
+                pose_graph_frame=True,
+            )
+        for e in edges:
+            self.archive_edges.append(
+                dict(
+                    i=fid_map[int(e["i"])], j=fid_map[int(e["j"])],
+                    T_ij=np.asarray(e["T_ij"], np.float64),
+                    sqrt_info=np.asarray(e["sqrt_info"], np.float64),
+                )
+            )
+        return fid_map
+
+    def close_loop(
+        self,
+        fid_cur: int,
+        fid_cand: int,
+        T_cand_cur: np.ndarray,
+        sqrt_info: np.ndarray,
+        iterations: int = 10,
+    ) -> bool:
+        """Accepted loop closure, synchronous path: persist the loop edge,
+        optimise the full pose graph in-line, and write the result back
+        (≙ ViSlamBackend::addLoopClosureFrame + optimiseFullGraph +
+        synchroniseRealtimeAndFullGraph collapsed into one call; the
+        background-thread equivalent is okvis2x_tpu.graph.fullgraph).
+        """
+        from okvis2x_tpu.graph import posegraph
+
+        if not self.add_loop_edge(fid_cur, fid_cand, T_cand_cur, sqrt_info):
+            return False
+        snap = self.snapshot_pose_graph()
+        if snap is None:
+            self.archive_edges.pop()
+            return False
+        T_opt, cost = posegraph.optimize_pose_graph(
+            snap["T"], snap["fixed"], snap["ei"], snap["ej"], snap["eT"],
+            snap["eS"], iterations=iterations, dtype=self.cfg.dtype,
+        )
+        if not np.all(np.isfinite(np.asarray(T_opt))):
+            self.archive_edges.pop()
+            return False
+        return self.apply_pose_graph_result(snap["fids"], T_opt)
 
     # --------------------------------------------------------------- final BA
     def final_ba(self, iterations: int = 15) -> float:
@@ -1001,6 +1130,8 @@ class SlidingWindowEstimator:
         connected = {(min(e["i"], e["j"]), max(e["i"], e["j"])) for e in edges}
         all_edges = list(edges)
         for a, b in zip(nodes[:-1], nodes[1:]):
+            if (a.fid < 0) != (b.fid < 0):
+                continue  # never glue a loaded component to the session
             key = (min(a.fid, b.fid), max(a.fid, b.fid))
             if key not in connected:
                 T_ij = np.asarray(

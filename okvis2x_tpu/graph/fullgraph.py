@@ -1,0 +1,119 @@
+"""Background full-graph optimisation (dual-graph architecture).
+
+TPU-native equivalent of the reference's dual-graph design: `ViSlamBackend`
+owns a realtime sliding-window graph and a complete-history `fullGraph_`
+optimised in a background thread, coordinated through the atomics
+`needsFullGraphOptimisation_` / `isLoopClosing_` / `isLoopClosureAvailable_`
+and mutation backlogs that replay realtime changes into the full graph
+after it finishes (okvis_ceres/include/okvis/ViSlamBackend.hpp:724-743,
+src/ViSlamBackend.cpp:1589 synchroniseRealtimeAndFullGraph, :1971
+optimiseFullGraph; thread spawn at
+okvis_multisensor_processing/src/ThreadedSlam.cpp:949-960).
+
+Redesign for JAX instead of shared-memory ceres problems:
+
+* the full graph is not a second mutable object but an immutable
+  **snapshot** (`SlidingWindowEstimator.snapshot_pose_graph`) — plain numpy
+  arrays handed to a worker thread;
+* the worker runs the jitted pose-graph Gauss-Newton program
+  (okvis2x_tpu.graph.posegraph) — JAX dispatch is thread-safe, and the
+  device executes it concurrently with the realtime window's programs;
+* the realtime side never blocks: it polls `is_loop_closure_available` and
+  calls `synchronise()`, which writes optimised poses back and replays the
+  backlog (states created since the snapshot) as a rigid re-anchoring —
+  exactly the role of the reference's addStatesBacklog_/touchedStates_
+  replay, but with explicit data handoff instead of locked shared state.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class FullGraphOptimizer:
+    """One in-flight background pose-graph optimisation at a time."""
+
+    def __init__(self, iterations: int = 15, dtype=jnp.float64):
+        self.iterations = iterations
+        self.dtype = dtype
+        self._thread: Optional[threading.Thread] = None
+        self._snap: Optional[dict] = None
+        self._result: Optional[np.ndarray] = None
+        self._cost: float = float("nan")
+        self._lock = threading.Lock()
+        self.n_dispatched = 0
+        self.n_synchronised = 0
+
+    # -- status (≙ the reference's three atomics) ------------------------
+    @property
+    def is_loop_closing(self) -> bool:
+        """An optimisation is in flight (≙ isLoopClosing_)."""
+        return self._thread is not None and self._thread.is_alive()
+
+    @property
+    def is_loop_closure_available(self) -> bool:
+        """A finished result awaits synchronise() (≙ isLoopClosureAvailable_)."""
+        with self._lock:
+            return self._result is not None and not self.is_loop_closing
+
+    # -- lifecycle --------------------------------------------------------
+    def dispatch(self, est) -> bool:
+        """Snapshot the estimator's long-term pose graph and optimise it on
+        a worker thread.  Returns False if busy, a result is pending, or
+        the graph is too small (≙ needsFullGraphOptimisation_ gating)."""
+        if self.is_loop_closing:
+            return False
+        with self._lock:
+            if self._result is not None:
+                return False
+        snap = est.snapshot_pose_graph()
+        if snap is None:
+            return False
+        self._snap = snap
+
+        def work():
+            from okvis2x_tpu.graph import posegraph
+
+            T_opt, cost = posegraph.optimize_pose_graph(
+                snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                snap["eT"], snap["eS"], iterations=self.iterations,
+                dtype=self.dtype,
+            )
+            T_opt = np.asarray(T_opt)
+            with self._lock:
+                self._result = T_opt
+                self._cost = float(cost)
+
+        self._thread = threading.Thread(
+            target=work, name="full-graph-optimisation", daemon=True
+        )
+        self._thread.start()
+        self.n_dispatched += 1
+        return True
+
+    def join(self, timeout: Optional[float] = None) -> bool:
+        """Wait for the in-flight optimisation (if any) to finish."""
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+        return not self.is_loop_closing
+
+    def synchronise(self, est) -> bool:
+        """Apply a finished result to the estimator: optimised poses write
+        back, the backlog (states added since the snapshot) is rigidly
+        re-anchored, landmarks transformed
+        (≙ synchroniseRealtimeAndFullGraph).  No-op unless a result is
+        available."""
+        with self._lock:
+            if self._result is None or self.is_loop_closing:
+                return False
+            T_opt, snap = self._result, self._snap
+            self._result, self._snap = None, None
+        ok = est.apply_pose_graph_result(snap["fids"], T_opt)
+        if ok:
+            self.n_synchronised += 1
+        return ok

@@ -67,6 +67,12 @@ class PipelineConfig:
     loop_min_gap_s: float = 5.0
     loop_min_inliers: int = 15
     drift_percentage: float = 1.35  # % of distance travelled
+    # dual-graph mode: optimise the full pose graph on a background thread
+    # and synchronise on a later frame (≙ ThreadedSlam's
+    # fullGraphOptimisationThread_, ThreadedSlam.cpp:949-960); synchronous
+    # by default for deterministic tests
+    async_loop_closure: bool = False
+    full_graph_iterations: int = 15
 
 
 class FrameData:
@@ -106,6 +112,16 @@ class VioPipeline:
         self.bow_db = None
         self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
         self.n_loop_closures = 0
+        # multi-session: loaded components (each with its own BoW database,
+        # ≙ Frontend::componentDBows_) + relocalisation status
+        self.components: List[dict] = []
+        self.relocalised = False
+        self.n_relocalisations = 0
+        from okvis2x_tpu.graph.fullgraph import FullGraphOptimizer
+
+        self.full_graph = FullGraphOptimizer(
+            iterations=cfg.full_graph_iterations, dtype=est_config.dtype
+        )
 
     # ---------------------------------------------------------------- stages
     def _detect_fn(self, shape):
@@ -533,12 +549,55 @@ class VioPipeline:
         }
         res = self.bow_db.query(words, rec["valid"], exclude=exclude, top=3)
         self.bow_db.add(fid, words, rec["valid"])
+        # multi-session relocalisation against loaded components first
+        # (≙ Frontend.cpp:813-857 multi-session place recognition)
+        if self._attempt_relocalisation(fid, words, rec):
+            return True
         if not res or res[0][1] < cfg.p_dbow:
             return False
         cand_fid, score = res[0]
         cand = self.kf_records[cand_fid]
 
-        # geometric verification: current descriptors vs candidate's
+        ver = self._geometric_verify(fid, rec, cand)
+        if ver is None:
+            return False
+        T_WS_est, n_inl = ver
+        # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
+        T_WS_cur = self.est.get_state(fid).T_WS
+        correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
+        dist = max(self.path_length - cand["path"], 0.5)
+        budget = cfg.drift_percentage / 100.0 * dist + 0.2
+        if correction > budget:
+            return False
+        T_cand_cur = np.asarray(
+            se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(cand["T_WS"])), jnp.asarray(T_WS_est)
+            )
+        )
+        sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
+        if self.cfg.async_loop_closure:
+            # dual-graph path: persist the loop edge now, optimise the full
+            # pose graph on the background thread, synchronise on a later
+            # frame (process_frame polls is_loop_closure_available)
+            if not self.est.add_loop_edge(fid, cand_fid, T_cand_cur, sqrt_info):
+                return False
+            self.full_graph.dispatch(self.est)
+            self.n_loop_closures += 1
+            return True
+        if self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
+            self.n_loop_closures += 1
+            self._refresh_kf_poses()
+            return True
+        return False
+
+    def _geometric_verify(self, fid: int, rec: dict, cand: dict):
+        """Descriptor match + P3P RANSAC of the current keyframe against a
+        candidate record's landmark snapshot (≙ verifyRecognisedPlace,
+        Frontend.cpp:258-604).  Returns (T_WS in the candidate's world
+        frame, inlier count) or None."""
+        from okvis2x_tpu.frontend import ransac
+
+        cfg = self.cfg
         pm1_cur = descriptor.unpack_pm1(
             jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
         )
@@ -554,10 +613,10 @@ class VioPipeline:
         has_lm = np.isfinite(cand["lm_pos"][:, 0])
         keep = np.nonzero(mv & has_lm[mi])[0]
         if len(keep) < cfg.loop_min_inliers:
-            return False
+            return None
         cam = self.cameras[0]
         rays, ok = pinhole.back_project(cam, jnp.asarray(rec["uv"][keep]))
-        rays = np.asarray(rays)
+        rays = np.array(rays)
         rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
         pts = cand["lm_pos"][mi[keep]]
         okn = np.asarray(ok)
@@ -570,7 +629,7 @@ class VioPipeline:
         )
         n_inl = int(res_r.num_inliers)
         if n_inl < cfg.loop_min_inliers:
-            return False
+            return None
         # pose of cam0 -> T_WS in the candidate-epoch world frame
         T_WC0 = np.asarray(res_r.T)
         T_WS_est = np.asarray(
@@ -579,31 +638,134 @@ class VioPipeline:
                 se3.se3_inverse(jnp.asarray(self.T_SC[0])),
             )
         )
-        # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
-        T_WS_cur = self.est.get_state(fid).T_WS
-        correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
-        dist = max(self.path_length - cand["path"], 0.5)
-        budget = cfg.drift_percentage / 100.0 * dist + 0.2
-        if correction > budget:
+        return T_WS_est, n_inl
+
+    # ------------------------------------------------- multi-session maps
+    def load_component(self, path: str, fixed: bool = True) -> bool:
+        """Load a previous session's map for relocalisation
+        (≙ Frontend::loadComponent, okvis_frontend/src/Frontend.cpp:
+        163-201): its keyframes enter the pose graph as (fixed) nodes with
+        negative frame ids, and its descriptors get their own BoW database.
+        If no vocabulary exists yet it is bootstrapped from the component's
+        descriptors (the reference ships a pretrained vocabulary)."""
+        from okvis2x_tpu.frontend import bow
+        from okvis2x_tpu.graph import component as comp_mod
+
+        comp = comp_mod.load_component(path)
+        if "records" not in comp:
             return False
-        T_cand_cur = np.asarray(
-            se3.se3_multiply(
-                se3.se3_inverse(jnp.asarray(cand["T_WS"])), jnp.asarray(T_WS_est)
-            )
+        fid_map = self.est.import_component_frames(
+            comp["frame_fids"], comp["frame_ts"], comp["frame_T_WS"],
+            comp["edges"], fixed=fixed,
         )
-        sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
-        if self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
-            self.n_loop_closures += 1
-            # refresh stored keyframe poses after the correction
-            for f2, r2 in self.kf_records.items():
-                st = self.est.archive_frames.get(f2)
-                if st is None:
-                    try:
-                        st = self.est.get_state(f2)
-                    except KeyError:
-                        st = None
-                if st is not None:
-                    r2["T_WS"] = st.T_WS.copy()
+        records = {
+            fid_map[old]: r for old, r in comp["records"].items()
+            if old in fid_map
+        }
+        if self.vocab is None:
+            packs = np.concatenate(
+                [r["packed"][r["valid"]] for r in records.values()]
+            )
+            if len(packs) < 256:
+                return False
+            pm1 = descriptor.unpack_pm1(
+                jnp.asarray(packs), jnp.ones(len(packs), bool)
+            )
+            self.vocab = bow.train_vocabulary(
+                pm1, k=self.cfg.vocab_k, iters=6
+            )
+            self.bow_db = bow.BowDatabase(k=self.cfg.vocab_k)
+        comp_db = bow.BowDatabase(k=self.cfg.vocab_k)
+        for cfid, r in records.items():
+            w = np.asarray(
+                bow.assign_words(
+                    descriptor.unpack_pm1(
+                        jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
+                    ),
+                    self.vocab,
+                )
+            )
+            r["words"] = w
+            comp_db.add(cfid, w, r["valid"])
+        self.components.append(dict(db=comp_db, records=records))
+        return True
+
+    def _attempt_relocalisation(self, fid: int, words, rec) -> bool:
+        """Query loaded components; on a geometrically verified hit, align
+        the running session onto the map frame (first hit: rigid transform
+        of the whole session) and add a pose-graph edge to the component
+        keyframe (≙ multi-session relocalisation, Frontend.cpp:813-857 +
+        ViSlamBackend loop-closure machinery)."""
+        cfg = self.cfg
+        for comp in self.components:
+            res = comp["db"].query(words, rec["valid"], top=3)
+            if not res or res[0][1] < cfg.p_dbow:
+                continue
+            cand_fid, _ = res[0]
+            cand = comp["records"][cand_fid]
+            ver = self._geometric_verify(fid, rec, cand)
+            if ver is None:
+                continue
+            T_WS_est, n_inl = ver
+            T_WS_cur = self.est.get_state(fid).T_WS
+            if self.relocalised:
+                # same drift gate as intra-session loops
+                correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
+                budget = cfg.drift_percentage / 100.0 * max(
+                    self.path_length, 0.5
+                ) + 0.2
+                if correction > budget:
+                    continue
+            else:
+                # first relocalisation: the inter-session offset is
+                # unbounded — rigidly move the session onto the map frame
+                dT = np.asarray(
+                    se3.se3_multiply(
+                        jnp.asarray(T_WS_est),
+                        se3.se3_inverse(jnp.asarray(T_WS_cur)),
+                    )
+                )
+                self.est.rigid_transform(dT, session_only=True)
+                self.relocalised = True
+            T_WK = self.est.archive_frames[cand_fid].T_WS  # map-frame pose
+            T_cand_cur = np.asarray(
+                se3.se3_multiply(
+                    se3.se3_inverse(jnp.asarray(T_WK)), jnp.asarray(T_WS_est)
+                )
+            )
+            sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
+            if self.cfg.async_loop_closure:
+                if self.est.add_loop_edge(fid, cand_fid, T_cand_cur, sqrt_info):
+                    self.full_graph.dispatch(self.est)
+                    self.n_relocalisations += 1
+                    return True
+            elif self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
+                self.n_relocalisations += 1
+                self._refresh_kf_poses()
+                return True
+        return False
+
+    def _refresh_kf_poses(self):
+        """Refresh stored keyframe pose snapshots after a correction."""
+        for f2, r2 in self.kf_records.items():
+            st = self.est.archive_frames.get(f2)
+            if st is None:
+                try:
+                    st = self.est.get_state(f2)
+                except KeyError:
+                    st = None
+            if st is not None:
+                r2["T_WS"] = st.T_WS.copy()
+
+    def synchronise_full_graph(self, wait: bool = False) -> bool:
+        """Apply a finished background full-graph optimisation, if any
+        (≙ synchroniseRealtimeAndFullGraph on the realtime thread)."""
+        if wait:
+            self.full_graph.join()
+        if not self.full_graph.is_loop_closure_available:
+            return False
+        if self.full_graph.synchronise(self.est):
+            self._refresh_kf_poses()
             return True
         return False
 
@@ -696,6 +858,9 @@ class VioPipeline:
         self, t: float, images: List[np.ndarray], depth_images=None
     ):
         est = self.est
+        # dual-graph sync point: fold a finished background full-graph
+        # optimisation into the realtime window before extending it
+        self.synchronise_full_graph()
         fid = est.add_state(t)
         f = est.get_state(fid)
 
@@ -752,3 +917,16 @@ class VioPipeline:
             n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),
             loop_closure=looped,
         )
+
+    def finish(self):
+        """Dataset end: drain the background full-graph optimisation
+        (≙ ThreadedSlam joining fullGraphOptimisationThread_ before
+        doFinalBa)."""
+        self.synchronise_full_graph(wait=True)
+
+    def save_component(self, path: str):
+        """Serialise this session for later relocalisation
+        (≙ ViSlamBackend::saveComponent / Component::save)."""
+        from okvis2x_tpu.graph import component as comp_mod
+
+        comp_mod.save_component(path, self.est, self.kf_records)

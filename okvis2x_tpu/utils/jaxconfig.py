@@ -13,6 +13,19 @@ import os
 def setup(cache_dir: str | None = None):
     import jax
 
+    # honour JAX_PLATFORMS even when a plugin backend was pre-registered by
+    # sitecustomize (env vars alone are ignored once the plugin is loaded)
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+        if "cpu" in platforms:
+            # CPU runs validate the f64 estimator path (the reference is
+            # double-precision Ceres); TPU runs stay f32
+            jax.config.update("jax_enable_x64", True)
+
     cache = cache_dir or os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
