@@ -32,7 +32,9 @@ def main():
 
     iters = 10
     p, cams = synthetic_window_problem(K=8, L=512, N=4096, dtype=jnp.float32)
-    cfg = gn.SolverConfig(max_iterations=iters)
+    # unroll: dynamic loop steps cost ~0.6 ms of sequencer sync each on this
+    # runtime; straight-line code pays only the kernels
+    cfg = gn.SolverConfig(max_iterations=iters, unroll=True)
 
     run = jax.jit(lambda prob: gn.optimize(prob, cams, cfg))
     # warmup/compile

@@ -609,6 +609,10 @@ class SlidingWindowEstimator:
                 imu_params=self.cfg.imu,
                 estimate_landmarks=not pose_only,
                 use_depth=use_depth,
+                # straight-line LM on accelerators (dynamic loop steps pay a
+                # fixed sequencer sync); rolled loop on CPU test hosts where
+                # compile time dominates
+                unroll=(jax.default_backend() != "cpu"),
             )
             self._jit_cache[key] = jax.jit(
                 lambda p, cams: gn.optimize(p, cams, cfg)

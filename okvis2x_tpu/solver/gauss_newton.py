@@ -80,6 +80,13 @@ class SolverConfig(NamedTuple):
     imu_params: ImuParams = ImuParams()
     depth_onesided: bool = True  # ≙ ceres::OneSidedDepthError
     use_depth: bool = False  # static: compile depth-prior rows into the solve
+    # Unroll the LM loop into straight-line code.  On TPU runtimes every
+    # dynamic loop step whose body launches tensor kernels pays a fixed
+    # ~0.6 ms sequencer sync, which dominates the ~0.3 ms of actual work per
+    # iteration at realtime-window shapes; unrolling removes it entirely
+    # (max_iterations is always static).  Costs ~max_iterations x the body
+    # compile time, so keep False on CPU test hosts.
+    unroll: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -572,9 +579,15 @@ def optimize(
     lam0 = jnp.asarray(cfg.init_lambda, p.T_WS.dtype)
     inf = jnp.asarray(jnp.inf, p.T_WS.dtype)
     params0 = extract(p)
-    params, backup, _, best_cost = jax.lax.fori_loop(
-        0, cfg.max_iterations, body, (params0, params0, lam0, inf)
-    )
+    carry = (params0, params0, lam0, inf)
+    if cfg.unroll:
+        for _ in range(cfg.max_iterations):
+            carry = body(0, carry)
+        params, backup, _, best_cost = carry
+    else:
+        params, backup, _, best_cost = jax.lax.fori_loop(
+            0, cfg.max_iterations, body, carry
+        )
     # the final step was never cost-checked; return the last accepted point
     final_cost = compute_cost(inject(params), cams, cfg)
     take_last = final_cost <= best_cost
