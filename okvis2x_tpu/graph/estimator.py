@@ -514,8 +514,10 @@ class SlidingWindowEstimator:
                 nrel += 1
 
         # GNSS factors: newest fixes attached to the latest frame at/before
-        # the fix time, with a preintegration bridging the gap (async factor)
-        Gcap = cfg.cap_gps
+        # the fix time, with a preintegration bridging the gap (async factor).
+        # GNSS-free runs allocate zero capacity so the whole factor family
+        # drops out of the compiled program (one recompile when GPS appears).
+        Gcap = cfg.cap_gps if self.gps_status != "Off" else 0
         gps_frame = np.zeros(Gcap, np.int32)
         gps_p_G = np.zeros((Gcap, 3))
         gps_si = np.tile(np.eye(3), (Gcap, 1, 1))

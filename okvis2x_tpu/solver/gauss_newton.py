@@ -262,18 +262,46 @@ def _linearize_gps(p: BAProblem, cfg: SolverConfig):
     return r, Jrow, p.gps_valid
 
 
+def _so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
+    """Inverse left Jacobian of SO(3) at rotation vector phi:
+    Jl^{-1} = I - phi_x/2 + c(theta) phi_x^2, Taylor-safe (c -> 1/12)."""
+    dtype = phi.dtype
+    th2 = jnp.sum(phi * phi)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-24))
+    small = th2 < 1e-10
+    c = jnp.where(
+        small,
+        1.0 / 12.0 + th2 / 720.0,
+        1.0 / jnp.maximum(th2, 1e-24)
+        - (1.0 + jnp.cos(th)) / jnp.maximum(2.0 * th * jnp.sin(th), 1e-24),
+    )
+    px = se3.cross_matrix(phi)
+    return jnp.eye(3, dtype=dtype) - 0.5 * px + c * (px @ px)
+
+
 def _linearize_rel(p: BAProblem):
+    """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows
+    with closed-form minimal Jacobians (≙ RelativePoseError::
+    EvaluateWithMinimalJacobians; autodiff through the quaternion chain
+    emits ~200 unfused kernels for the same math — ~7x the launches)."""
     dtype = p.T_WS.dtype
 
     def one(i, j, Trel, si):
-        def f(di, dj):
-            return priors.relative_pose_residual(
-                Trel, se3.retract(p.T_WS[i], di), se3.retract(p.T_WS[j], dj), si
-            )
-
-        z = jnp.zeros(6, dtype)
-        r = f(z, z)
-        Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(z, z)
+        T_A, T_B = p.T_WS[i], p.T_WS[j]
+        q_A = se3.se3_q(T_A)
+        R_AT = se3.quat_to_matrix(se3.quat_conjugate(q_A))  # R_A^T
+        D = se3.se3_t(T_B) - se3.se3_t(T_A)  # world-frame baseline
+        t_AB = R_AT @ D
+        q_AB = se3.quat_multiply(se3.quat_conjugate(q_A), se3.se3_q(T_B))
+        e0 = se3.quat_multiply(q_AB, se3.quat_conjugate(se3.se3_q(Trel)))
+        phi = se3.quat_log(e0)
+        r = si @ jnp.concatenate([t_AB - se3.se3_t(Trel), phi])
+        # world-frame left perturbations (retract: q <- dq(a) q) map into the
+        # error log through R_A^T; the exact log derivative is Jl^{-1}(phi)
+        JlR = _so3_left_jacobian_inv(phi) @ R_AT
+        Z = jnp.zeros((3, 3), dtype)
+        Ji = si @ jnp.block([[-R_AT, R_AT @ se3.cross_matrix(D)], [Z, -JlR]])
+        Jj = si @ jnp.block([[R_AT, Z], [Z, JlR]])
         return r, Ji, Jj
 
     r, Ji, Jj = jax.vmap(one)(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
@@ -358,15 +386,18 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
 
     # IMU links, priors, relative-pose and GNSS factors: every small dense-row
     # family masked then stacked into ONE (M, P) system — a single MXU matmul
-    # instead of four ~0.25 ms kernel chains.
+    # instead of four ~0.25 ms kernel chains.  Families with zero static
+    # capacity are skipped at trace time: their residual chains emit
+    # hundreds of tiny unfused kernels (jacfwd through quaternion math),
+    # pure overhead when a window carries no such factors.
     (r_pp, J_pp, v_pp), (r_sb, J_sb, v_sb) = _linearize_priors(p)
-    fams = [
-        _linearize_imu(p, cfg),
-        (r_pp, J_pp, v_pp),
-        (r_sb, J_sb, v_sb),
-        _linearize_rel(p),
-        _linearize_gps(p, cfg),
-    ]
+    fams = [(r_pp, J_pp, v_pp), (r_sb, J_sb, v_sb)]
+    if p.imu_i.shape[0]:
+        fams.append(_linearize_imu(p, cfg))
+    if p.rel_i.shape[0]:
+        fams.append(_linearize_rel(p))
+    if p.gps_frame.shape[0]:
+        fams.append(_linearize_gps(p, cfg))
     rs, Js = [], []
     for r_, J_, v_ in fams:
         m = v_.astype(dtype)
@@ -423,10 +454,11 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
             cfg.imu_params, pre, si, p.T_WS[i], p.sb[i], p.T_WS[j], p.sb[j]
         )
 
-    r_i = jax.vmap(imu_one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
-    cost = cost + 0.5 * jnp.sum(
-        (r_i * p.imu_valid.astype(dtype)[:, None]) ** 2
-    )
+    if p.imu_i.shape[0]:
+        r_i = jax.vmap(imu_one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_i * p.imu_valid.astype(dtype)[:, None]) ** 2
+        )
 
     ks = jnp.arange(p.K, dtype=jnp.int32)
     r_pp = jax.vmap(
@@ -438,20 +470,28 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
     )(ks, p.sb_prior, p.sb_prior_sqrt_info)
     cost = cost + 0.5 * jnp.sum((r_sb * p.sb_prior_valid.astype(dtype)[:, None]) ** 2)
 
-    r_r = jax.vmap(
-        lambda i, j, Tr, si: priors.relative_pose_residual(Tr, p.T_WS[i], p.T_WS[j], si)
-    )(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
-    cost = cost + 0.5 * jnp.sum((r_r * p.rel_valid.astype(dtype)[:, None]) ** 2)
-
-    from okvis2x_tpu.factors import gps as gps_mod
-
-    r_g = jax.vmap(
-        lambda fi, pre, pg, si: gps_mod.residual_async(
-            cfg.imu_params, pre, p.T_GW, p.T_WS[fi], p.sb[fi], pg,
-            p.gps_r_SA, si,
+    if p.rel_i.shape[0]:
+        r_r = jax.vmap(
+            lambda i, j, Tr, si: priors.relative_pose_residual(
+                Tr, p.T_WS[i], p.T_WS[j], si
+            )
+        )(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_r * p.rel_valid.astype(dtype)[:, None]) ** 2
         )
-    )(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
-    cost = cost + 0.5 * jnp.sum((r_g * p.gps_valid.astype(dtype)[:, None]) ** 2)
+
+    if p.gps_frame.shape[0]:
+        from okvis2x_tpu.factors import gps as gps_mod
+
+        r_g = jax.vmap(
+            lambda fi, pre, pg, si: gps_mod.residual_async(
+                cfg.imu_params, pre, p.T_GW, p.T_WS[fi], p.sb[fi], pg,
+                p.gps_r_SA, si,
+            )
+        )(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_g * p.gps_valid.astype(dtype)[:, None]) ** 2
+        )
     return cost
 
 

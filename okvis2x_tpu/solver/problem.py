@@ -161,19 +161,19 @@ def empty_problem(
         sb_prior=jnp.zeros((K, 9), dtype),
         sb_prior_sqrt_info=jnp.tile(jnp.eye(9, dtype=dtype), (K, 1, 1)),
         sb_prior_valid=jnp.zeros((K,), bool),
-        rel_i=jnp.zeros((max(R, 1),), i32),
-        rel_j=jnp.zeros((max(R, 1),), i32),
-        rel_T=jnp.tile(se3.se3_identity(dtype), (max(R, 1), 1)),
-        rel_sqrt_info=jnp.tile(jnp.eye(6, dtype=dtype), (max(R, 1), 1, 1)),
-        rel_valid=jnp.zeros((max(R, 1),), bool),
+        rel_i=jnp.zeros((R,), i32),
+        rel_j=jnp.zeros((R,), i32),
+        rel_T=jnp.tile(se3.se3_identity(dtype), (R, 1)),
+        rel_sqrt_info=jnp.tile(jnp.eye(6, dtype=dtype), (R, 1, 1)),
+        rel_valid=jnp.zeros((R,), bool),
         T_GW=se3.se3_identity(dtype),
         tgw_fixed=jnp.asarray(True),
-        gps_frame=jnp.zeros((max(G, 1),), i32),
-        gps_pre=_empty_pre(max(G, 1), dtype),
-        gps_p_G=jnp.zeros((max(G, 1), 3), dtype),
+        gps_frame=jnp.zeros((G,), i32),
+        gps_pre=_empty_pre(G, dtype),
+        gps_p_G=jnp.zeros((G, 3), dtype),
         gps_r_SA=jnp.zeros((3,), dtype),
-        gps_sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (max(G, 1), 1, 1)),
-        gps_valid=jnp.zeros((max(G, 1),), bool),
+        gps_sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (G, 1, 1)),
+        gps_valid=jnp.zeros((G,), bool),
     )
 
 

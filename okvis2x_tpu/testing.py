@@ -64,7 +64,9 @@ def synthetic_window_problem(
     )
     uv = np.asarray(uv) + rng.normal(0, noise_px, (N, 2))
 
-    p = prb.empty_problem(K=K, L=L, C=2, N=N, M=K - 1, R=1, dtype=dtype)
+    # R=1 rel-edge slot (marginalisation edges exist in real windows);
+    # G=0 — GNSS-free, its factor family is skipped at trace time
+    p = prb.empty_problem(K=K, L=L, C=2, N=N, M=K - 1, R=1, G=0, dtype=dtype)
     p = p._replace(
         T_WS=jnp.asarray(T_WS, dtype),
         frame_valid=jnp.ones(K, bool),

@@ -167,3 +167,68 @@ def test_invalid_obs_masked():
     p_opt, cost = gn.optimize(p, cams, cfg)
     err_t = np.linalg.norm(np.asarray(p_opt.T_WS[:, :3] - T_gt[:, :3]), axis=-1)
     assert err_t.max() < 1e-3
+
+
+def test_rel_analytic_jacobian_matches_autodiff():
+    """Closed-form relative-pose Jacobians == jacfwd through retract+log
+    (exactness of the Jl^{-1} correction, also away from zero residual)."""
+    import jax
+
+    from okvis2x_tpu.core import se3
+    from okvis2x_tpu.factors import priors
+    from okvis2x_tpu.solver import problem as prb
+
+    rng = np.random.default_rng(11)
+    K = 3
+    p = prb.empty_problem(K=K, L=1, C=1, N=1, M=0, R=2, G=0,
+                          dtype=jnp.float64)
+    T = np.zeros((K, 7))
+    for k in range(K):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        T[k] = np.concatenate([rng.normal(scale=2.0, size=3), q])
+    # a rel measurement NOT equal to the current estimate (finite residual)
+    qm = rng.normal(size=4)
+    qm /= np.linalg.norm(qm)
+    Trel = np.concatenate([rng.normal(size=3), qm])
+    S = np.linalg.cholesky(
+        np.eye(6) + 0.1 * np.diag(rng.uniform(size=6))
+    ).T
+    p = p._replace(
+        T_WS=jnp.asarray(T),
+        frame_valid=jnp.ones(K, bool),
+        rel_i=jnp.array([0, 1], jnp.int32),
+        rel_j=jnp.array([1, 2], jnp.int32),
+        rel_T=jnp.asarray(np.stack([Trel, Trel])),
+        rel_sqrt_info=jnp.asarray(np.stack([S, S])),
+        rel_valid=jnp.ones(2, bool),
+    )
+
+    r_an, Jrow_an, _ = gn._linearize_rel(p)
+
+    def fd_one(i, j):
+        def f(di, dj):
+            return priors.relative_pose_residual(
+                jnp.asarray(Trel),
+                se3.retract(p.T_WS[i], di),
+                se3.retract(p.T_WS[j], dj),
+                jnp.asarray(S),
+            )
+
+        z = jnp.zeros(6, jnp.float64)
+        r = f(z, z)
+        Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(z, z)
+        return r, Ji, Jj
+
+    for e, (i, j) in enumerate([(0, 1), (1, 2)]):
+        r, Ji, Jj = fd_one(i, j)
+        np.testing.assert_allclose(np.asarray(r_an[e]), np.asarray(r),
+                                   atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(Jrow_an[e, :, i * 15 : i * 15 + 6]), np.asarray(Ji),
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(Jrow_an[e, :, j * 15 : j * 15 + 6]), np.asarray(Jj),
+            atol=1e-9,
+        )
