@@ -82,3 +82,67 @@ def load_component(path: str) -> dict:
             for i, f in enumerate(z["rec_fids"])
         }
     return out
+
+
+def save_map(path: str, est, kf_records: Optional[Dict[int, dict]] = None):
+    """Export the long-term map in the reference's saveMap layout
+    (≙ ViSlamBackend::saveMap, okvis_ceres/src/ViSlamBackend.cpp:2166):
+    a `.g2o` pose graph (standard VERTEX_SE3:QUAT / EDGE_SE3:QUAT) next to
+    a text map file listing landmarks, per-frame covisibilities and
+    observations (keypoint id, landmark id, position, descriptor hex)."""
+    nodes, edges = est.pose_graph()
+
+    g2o_path = (path[:-4] if path.endswith(".csv") else path) + ".g2o"
+    with open(g2o_path, "w") as f:
+        for n in nodes:
+            t, q = n.T_WS[:3], n.T_WS[3:7]
+            f.write(
+                f"VERTEX_SE3:QUAT {n.fid} "
+                f"{t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n"
+            )
+        for e in edges:
+            t, q = e["T_ij"][:3], e["T_ij"][3:7]
+            info = e["sqrt_info"].T @ e["sqrt_info"]
+            upper = " ".join(
+                str(info[i, j]) for i in range(6) for j in range(i, 6)
+            )
+            f.write(
+                f"EDGE_SE3:QUAT {e['i']} {e['j']} "
+                f"{t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]} {upper}\n"
+            )
+
+    with open(path, "w") as f:
+        f.write("landmarks:\n")
+        lm_pos = {}
+        for lid, row in est.lm_index.items():
+            hp = est.hp_W[row]
+            if abs(hp[3]) > 1e-9:
+                lm_pos[lid] = hp[:3] / hp[3]
+        for lid, hp in est.arch_lm.items():
+            if lid not in lm_pos and abs(hp[3]) > 1e-9:
+                lm_pos[lid] = hp[:3] / hp[3]
+        for lid in sorted(lm_pos):
+            p3 = lm_pos[lid]
+            f.write(f"{lid},{p3[0]},{p3[1]},{p3[2]}\n")
+        covis = {}
+        for e in edges:
+            covis.setdefault(e["i"], set()).add(e["j"])
+            covis.setdefault(e["j"], set()).add(e["i"])
+        for n in nodes:
+            ids = " ".join(str(c) for c in sorted(covis.get(n.fid, ())))
+            f.write(f"frame: {n.fid}, covisibilities: {ids}\n")
+            rec = (kf_records or {}).get(n.fid)
+            if rec is None:
+                continue
+            lmp = rec.get("lm_pos")
+            packed = rec.get("packed")
+            if lmp is None or packed is None:
+                continue
+            for k in range(len(lmp)):
+                if not np.isfinite(lmp[k, 0]):
+                    continue
+                desc = packed[k].astype("<u4").tobytes().hex()
+                f.write(
+                    f"{k},-1,{lmp[k,0]},{lmp[k,1]},{lmp[k,2]},{desc}\n"
+                )
+    return g2o_path

@@ -336,3 +336,42 @@ class SubmappingInterface:
             for p in pts:
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
         return len(pts)
+
+    def export_vtk_bboxes(self, path: str):
+        """Write submap bounding boxes as a legacy-VTK unstructured grid
+        (≙ SubmappingUtils' VTK bbox export / tools okvis_to_vtk.sh):
+        one hexahedron per submap, corners in world frame."""
+        from okvis2x_tpu.core import se3
+        import jax.numpy as jnp
+
+        D = float(self.cfg.submap.dim) * float(self.cfg.submap.res)
+        pts = []
+        cells = []
+        for entry in self.maps:
+            T_WK = jnp.asarray(np.asarray(entry.sm.T_WK))
+            base = len(pts)
+            # submap-local corners: the grid is centred on the keyframe
+            for dz in (-D / 2, D / 2):
+                for dy in (-D / 2, D / 2):
+                    for dx in (-D / 2, D / 2):
+                        c = se3.se3_apply(T_WK, jnp.asarray([dx, dy, dz]))
+                        pts.append(np.asarray(c))
+            # VTK_HEXAHEDRON ordering
+            o = base
+            cells.append(
+                [o + 0, o + 1, o + 3, o + 2, o + 4, o + 5, o + 7, o + 6]
+            )
+        with open(path, "w") as f:
+            f.write("# vtk DataFile Version 3.0\n")
+            f.write("okvis2x_tpu submap bounding boxes\nASCII\n")
+            f.write("DATASET UNSTRUCTURED_GRID\n")
+            f.write(f"POINTS {len(pts)} float\n")
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+            f.write(f"CELLS {len(cells)} {len(cells) * 9}\n")
+            for c in cells:
+                f.write("8 " + " ".join(str(i) for i in c) + "\n")
+            f.write(f"CELL_TYPES {len(cells)}\n")
+            for _ in cells:
+                f.write("12\n")
+        return path

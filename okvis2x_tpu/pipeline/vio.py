@@ -73,6 +73,12 @@ class PipelineConfig:
     # by default for deterministic tests
     async_loop_closure: bool = False
     full_graph_iterations: int = 15
+    # tracking-quality monitor (≙ ViSlamBackend tracking quality: fraction
+    # of the image covered by matched tracks; thresholds from
+    # ThreadedSlam.cpp:1042-1048)
+    quality_lost: float = 0.01
+    quality_marginal: float = 0.3
+    quality_grid: int = 8  # coverage measured over an NxN cell grid
 
 
 class FrameData:
@@ -871,6 +877,7 @@ class VioPipeline:
         if n_map >= 8:
             est.optimise(iterations=3, pose_only=True)
             self.reject_outliers(fid)
+        quality = self._tracking_quality(frame_data)
 
         is_kf = self.need_keyframe(frame_data)
         est.set_keyframe(fid, is_kf)
@@ -915,8 +922,44 @@ class VioPipeline:
         return dict(
             fid=fid, is_keyframe=is_kf, n_map=n_map,
             n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),
-            loop_closure=looped,
+            loop_closure=looped, tracking_quality=quality,
         )
+
+    def _tracking_quality(self, frame_data) -> "TrackingQuality":
+        """Image-coverage tracking quality (≙ the reference's fraction-of-
+        image-covered-by-matched-tracks monitor, ViSlamBackend.cpp:261 with
+        Good/Marginal/Lost thresholds at ThreadedSlam.cpp:1042-1048):
+        fraction of grid cells containing at least one matched keypoint."""
+        from okvis2x_tpu.api import TrackingQuality
+
+        g = self.cfg.quality_grid
+        covered = 0
+        total = 0
+        for c, fd in enumerate(frame_data):
+            cam = self.cameras[min(c, len(self.cameras) - 1)]
+            w, h = cam.width, cam.height
+            total += g * g
+            sel = fd.lid >= 0
+            if not np.any(sel):
+                continue
+            uv = fd.uv[sel]
+            cx = np.clip((uv[:, 0] / w * g).astype(int), 0, g - 1)
+            cy = np.clip((uv[:, 1] / h * g).astype(int), 0, g - 1)
+            covered += len(set(zip(cx.tolist(), cy.tolist())))
+        frac = covered / max(total, 1)
+        self.last_quality_fraction = frac
+        if frac < self.cfg.quality_lost:
+            return TrackingQuality.LOST
+        if frac < self.cfg.quality_marginal:
+            return TrackingQuality.MARGINAL
+        return TrackingQuality.GOOD
+
+    def save_map(self, path: str) -> str:
+        """Export the long-term map + .g2o pose graph
+        (≙ ViSlamBackend::saveMap)."""
+        from okvis2x_tpu.graph import component as comp_mod
+
+        return comp_mod.save_map(path, self.est, self.kf_records)
 
     def finish(self):
         """Dataset end: drain the background full-graph optimisation

@@ -173,3 +173,46 @@ def test_tum_roundtrip(tmp_path):
     data = np.loadtxt(p)
     np.testing.assert_allclose(data[:, 0], ts)
     np.testing.assert_allclose(data[:, 1:4], T[:, :3])
+
+
+def test_save_map_g2o(tmp_path):
+    """saveMap parity: .g2o pose graph + text map file
+    (≙ ViSlamBackend::saveMap, ViSlamBackend.cpp:2166)."""
+    import jax.numpy as jnp
+
+    from okvis2x_tpu.core import se3
+    from okvis2x_tpu.graph import component as comp_mod
+    from okvis2x_tpu.graph import EstimatorConfig, FrameState, SlidingWindowEstimator
+    from okvis2x_tpu.cameras import distortion as dist
+    from okvis2x_tpu.cameras import pinhole
+
+    cam = pinhole.make_pinhole(400, 400, 320, 240, 640, 480, model=dist.NONE)
+    est = SlidingWindowEstimator(
+        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=8,
+                        cap_imu_links=3),
+        [cam], np.array([[0, 0, 0, 0, 0, 0, 1.0]]),
+    )
+    for k in range(3):
+        est.archive_frames[k] = FrameState(
+            fid=k, timestamp=float(k),
+            T_WS=np.array([k, 0, 0, 0, 0, 0, 1.0]), sb=np.zeros(9),
+            is_keyframe=True, pose_graph_frame=True,
+        )
+    est.archive_edges.append(
+        dict(i=0, j=1, T_ij=np.array([1, 0, 0, 0, 0, 0, 1.0]),
+             sqrt_info=np.eye(6) * 10)
+    )
+    est.arch_lm[7] = np.array([1.0, 2.0, 3.0, 1.0])
+
+    path = str(tmp_path / "map.csv")
+    g2o = comp_mod.save_map(path, est)
+    g2o_lines = open(g2o).read().splitlines()
+    assert sum(l.startswith("VERTEX_SE3:QUAT") for l in g2o_lines) == 3
+    edge = [l for l in g2o_lines if l.startswith("EDGE_SE3:QUAT")]
+    assert len(edge) == 1
+    parts = edge[0].split()
+    assert parts[1:3] == ["0", "1"]
+    assert len(parts) == 3 + 7 + 21  # tag+ids, pose, upper-tri info
+    txt = open(path).read()
+    assert txt.startswith("landmarks:\n7,1.0,2.0,3.0")
+    assert "frame: 0, covisibilities: 1" in txt

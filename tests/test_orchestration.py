@@ -162,3 +162,41 @@ def test_fast_scnn_contract():
     assert logits.shape == (64, 96, seg.NUM_CLASSES)
     cls = seg.sample_classes(logits, jnp.asarray([[10.0, 10.0]]))
     assert cls.shape == (1,)
+
+
+def test_tracking_quality_monitor():
+    """Image-coverage quality -> Good/Marginal/Lost
+    (≙ the reference's tracking-quality thresholds 0.01/0.3,
+    ThreadedSlam.cpp:1042-1048)."""
+    import numpy as np
+
+    from okvis2x_tpu.api import TrackingQuality
+    from okvis2x_tpu.cameras import distortion as dist
+    from okvis2x_tpu.cameras import pinhole
+    from okvis2x_tpu.graph import EstimatorConfig
+    from okvis2x_tpu.pipeline.vio import FrameData, PipelineConfig, VioPipeline
+
+    cam = pinhole.make_pinhole(100, 100, 64, 48, 128, 96, model=dist.NONE)
+    pipe = VioPipeline(
+        [cam], np.array([[0, 0, 0, 0, 0, 0, 1.0]]),
+        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=8,
+                        cap_imu_links=3),
+        PipelineConfig(),
+    )
+
+    def fd(n_matched, spread):
+        n = 32
+        uv = np.random.default_rng(0).uniform([0, 0], spread, (n, 2))
+        f = FrameData(uv, np.ones(n), np.zeros(n, int), np.ones(n, bool),
+                      np.zeros((n, 12), np.uint32), None)
+        f.lid[:n_matched] = np.arange(n_matched)
+        return f
+
+    # dense coverage over the full image -> Good
+    assert pipe._tracking_quality([fd(32, [128, 96])]) == TrackingQuality.GOOD
+    # few matches confined to one corner -> Marginal
+    assert (
+        pipe._tracking_quality([fd(4, [20, 20])]) == TrackingQuality.MARGINAL
+    )
+    # no matches -> Lost
+    assert pipe._tracking_quality([fd(0, [128, 96])]) == TrackingQuality.LOST

@@ -92,3 +92,18 @@ def test_overlap_triggers_reuse():
     si.integrate_depth(1, T_near, T_near, cam, wall_depth(cam))
     assert len(si.maps) == 1
     assert 1 in si.active.kf_ids
+
+
+def test_vtk_bbox_export(tmp_path):
+    """Submap bounding boxes export as a legacy-VTK hexahedron grid
+    (≙ SubmappingUtils VTK export)."""
+    si = SubmappingInterface(CFG)
+    si.start_submap(0, np.array([0, 0, 0, 0, 0, 0, 1.0]))
+    si.start_submap(1, np.array([5, 0, 0, 0, 0, 0, 1.0]))
+    path = str(tmp_path / "boxes.vtk")
+    si.export_vtk_bboxes(path)
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("# vtk DataFile")
+    np_pts = [l for l in lines if l.startswith("POINTS")]
+    assert np_pts and np_pts[0].split()[1] == "16"
+    assert "CELL_TYPES 2" in "\n".join(lines)
