@@ -84,6 +84,7 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
 
+    vi = None
     if args.synthetic_test:
         ds_dir = os.path.join(args.output, "synth")
         cam, T_SC, gt = synthetic.generate(
@@ -109,7 +110,22 @@ def main():
     if getattr(ds, "ground_truth", None) is not None:
         gt = ds.ground_truth
 
-    est_cfg = EstimatorConfig()
+    if vi is not None:
+        oc = vi.camera.online_calibration
+        est_cfg = EstimatorConfig(
+            num_keyframes=vi.estimator.num_keyframes,
+            num_imu_frames=vi.estimator.num_imu_frames,
+            max_iterations=vi.estimator.realtime_max_iterations,
+            imu=vi.imu,
+            do_extrinsics=oc.do_extrinsics,
+            do_extrinsics_final_ba=oc.do_extrinsics_final_ba,
+            extrinsics_sigma_r=oc.sigma_r,
+            extrinsics_sigma_alpha=oc.sigma_alpha,
+            extrinsics_sigma_r_final_ba=oc.sigma_r_final_ba,
+            extrinsics_sigma_alpha_final_ba=oc.sigma_alpha_final_ba,
+        )
+    else:
+        est_cfg = EstimatorConfig()
     pipe_cfg = PipelineConfig(
         do_loop_closures=(args.mode != "vio"),
         # dual-graph mode: full-graph optimisation overlaps the realtime

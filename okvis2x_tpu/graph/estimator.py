@@ -61,6 +61,15 @@ class EstimatorConfig:
     max_iterations: int = 10
     imu: pre.ImuParams = pre.ImuParams()
     dtype: object = jnp.float64
+    # online extrinsics calibration (≙ CameraParameters::
+    # OnlineCalibrationParameters, Parameters.hpp:70-80): estimate T_SC with
+    # a pose prior of the given stdevs around the initial calibration
+    do_extrinsics: bool = False
+    do_extrinsics_final_ba: bool = False
+    extrinsics_sigma_r: float = 0.001  # [m]
+    extrinsics_sigma_alpha: float = 0.005  # [rad]
+    extrinsics_sigma_r_final_ba: float = 0.001
+    extrinsics_sigma_alpha_final_ba: float = 0.005
     # priors applied at initialisation (reference addStatesInitialise)
     init_pos_sigma: float = 1e-4
     init_yaw_sigma: float = 1e-4
@@ -91,6 +100,8 @@ class SlidingWindowEstimator:
         self.cams = gn.stack_cameras(cameras)
         self.T_SC = np.asarray(T_SC, dtype=np.float64)  # (C, 7)
         self.C = self.T_SC.shape[0]
+        # online-calibration prior anchored at the initial calibration
+        self.T_SC_prior = self.T_SC.copy()
 
         self.frames: List[FrameState] = []
         self._next_fid = 0
@@ -565,6 +576,21 @@ class SlidingWindowEstimator:
             gps_sqrt_info=cvt(gps_si),
             gps_valid=jnp.asarray(gps_valid),
         )
+        if cfg.do_extrinsics:
+            si_ext = np.diag(
+                np.concatenate(
+                    [
+                        np.full(3, 1.0 / max(cfg.extrinsics_sigma_r, 1e-9)),
+                        np.full(3, 1.0 / max(cfg.extrinsics_sigma_alpha, 1e-9)),
+                    ]
+                )
+            )
+            p = p._replace(
+                ext_fixed=jnp.zeros((self.C,), bool),
+                ext_prior_T=cvt(self.T_SC_prior),
+                ext_prior_sqrt_info=cvt(np.tile(si_ext, (self.C, 1, 1))),
+                ext_prior_valid=jnp.ones((self.C,), bool),
+            )
         p = p._replace(
             T_WS=p.T_WS.at[:nf].set(cvt(T_WS)),
             sb=p.sb.at[:nf].set(cvt(sb)),
@@ -611,6 +637,7 @@ class SlidingWindowEstimator:
                 imu_params=self.cfg.imu,
                 estimate_landmarks=not pose_only,
                 use_depth=use_depth,
+                use_ext_priors=self.cfg.do_extrinsics,
                 # straight-line LM on accelerators (dynamic loop steps pay a
                 # fixed sequencer sync); rolled loop on CPU test hosts where
                 # compile time dominates
@@ -641,6 +668,8 @@ class SlidingWindowEstimator:
         hp = np.asarray(p_opt.hp_W)
         nl = len(self.lm_ids)
         self.hp_W = hp[:nl]
+        if self.cfg.do_extrinsics:
+            self.T_SC = np.asarray(p_opt.T_SC, np.float64)
         if self.gps_status == "Initialised":
             self.T_GW = np.asarray(p_opt.T_GW)
         return float(cost)
@@ -1216,14 +1245,40 @@ class SlidingWindowEstimator:
             rel_T=cvt(r_T), rel_sqrt_info=cvt(r_si),
             rel_valid=jnp.asarray(r_valid),
         )
-        key = ("final", K, L, N, R, iterations)
+        # optional extrinsics refinement in the final BA (≙ the reference's
+        # do_extrinsics_final_ba with its own soft-constraint sigmas)
+        do_ext = self.cfg.do_extrinsics_final_ba
+        if do_ext:
+            si_ext = np.diag(
+                np.concatenate(
+                    [
+                        np.full(
+                            3, 1.0 / max(self.cfg.extrinsics_sigma_r_final_ba, 1e-9)
+                        ),
+                        np.full(
+                            3,
+                            1.0 / max(self.cfg.extrinsics_sigma_alpha_final_ba, 1e-9),
+                        ),
+                    ]
+                )
+            )
+            p = p._replace(
+                ext_fixed=jnp.zeros((self.C,), bool),
+                ext_prior_T=cvt(self.T_SC_prior),
+                ext_prior_sqrt_info=cvt(np.tile(si_ext, (self.C, 1, 1))),
+                ext_prior_valid=jnp.ones((self.C,), bool),
+            )
+        key = ("final", K, L, N, R, iterations, do_ext)
         if key not in self._jit_cache:
             cfg_s = gn.SolverConfig(max_iterations=iterations,
-                                    imu_params=self.cfg.imu)
+                                    imu_params=self.cfg.imu,
+                                    use_ext_priors=do_ext)
             self._jit_cache[key] = jax.jit(
                 lambda pp, cams: gn.optimize(pp, cams, cfg_s)
             )
         p_opt, cost = self._jit_cache[key](p, self.cams)
+        if do_ext:
+            self.T_SC = np.asarray(p_opt.T_SC, np.float64)
 
         T_out = np.asarray(p_opt.T_WS)
         for f, slot in fid2slot.items():

@@ -889,6 +889,10 @@ class VioPipeline:
             n_stereo += self.depth_initialize(fid, frame_data, depth_images)
 
         est.optimise()
+        if est.cfg.do_extrinsics:
+            # keep the pipeline's projection extrinsics in sync with the
+            # online-calibrated estimate
+            self.T_SC = est.T_SC.copy()
         # refresh landmark descriptors with the freshest observation
         for fd in frame_data:
             for k in np.nonzero(fd.lid >= 0)[0]:

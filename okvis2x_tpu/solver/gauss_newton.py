@@ -80,6 +80,10 @@ class SolverConfig(NamedTuple):
     imu_params: ImuParams = ImuParams()
     depth_onesided: bool = True  # ≙ ceres::OneSidedDepthError
     use_depth: bool = False  # static: compile depth-prior rows into the solve
+    # Online extrinsics calibration: include the T_SC prior rows
+    # (≙ OnlineCalibrationParameters; static so calibration-off runs
+    # compile no extrinsics-prior kernels).
+    use_ext_priors: bool = False
     # Unroll the LM loop into straight-line code.  On TPU runtimes every
     # dynamic loop step whose body launches tensor kernels pays a fixed
     # ~0.6 ms sequencer sync, which dominates the ~0.3 ms of actual work per
@@ -262,6 +266,35 @@ def _linearize_gps(p: BAProblem, cfg: SolverConfig):
     return r, Jrow, p.gps_valid
 
 
+def _linearize_ext_priors(p: BAProblem):
+    """Unary pose priors on the camera extrinsics T_SC (online calibration;
+    ≙ the reference's extrinsics PoseError with sigma_r/sigma_alpha).  Rows
+    target the extrinsics columns [K*15 + c*6 : K*15 + (c+1)*6]."""
+    dtype = p.T_WS.dtype
+    K, C = p.K, p.C
+
+    def one(c, Tp, si):
+        def f(d):
+            return priors.pose_prior_residual(Tp, se3.retract(p.T_SC[c], d), si)
+
+        z = jnp.zeros(6, dtype)
+        return f(z), jax.jacfwd(f)(z)
+
+    cs = jnp.arange(C, dtype=jnp.int32)
+    r, J = jax.vmap(one)(cs, p.ext_prior_T, p.ext_prior_sqrt_info)  # (C,6),(C,6,6)
+    onehot = jax.nn.one_hot(cs, C, dtype=dtype)  # (C, C)
+    rows_e = jnp.einsum("nrd,nc->nrcd", J, onehot).reshape(C, 6, C * 6)
+    Jrow = jnp.concatenate(
+        [
+            jnp.zeros((C, 6, K * 15), dtype),
+            rows_e,
+            jnp.zeros((C, 6, 4), dtype),
+        ],
+        axis=-1,
+    )
+    return r, Jrow, p.ext_prior_valid
+
+
 def _so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     """Inverse left Jacobian of SO(3) at rotation vector phi:
     Jl^{-1} = I - phi_x/2 + c(theta) phi_x^2, Taylor-safe (c -> 1/12)."""
@@ -398,6 +431,8 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
         fams.append(_linearize_rel(p))
     if p.gps_frame.shape[0]:
         fams.append(_linearize_gps(p, cfg))
+    if cfg.use_ext_priors:
+        fams.append(_linearize_ext_priors(p))
     rs, Js = [], []
     for r_, J_, v_ in fams:
         m = v_.astype(dtype)
@@ -491,6 +526,15 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
         )(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
         cost = cost + 0.5 * jnp.sum(
             (r_g * p.gps_valid.astype(dtype)[:, None]) ** 2
+        )
+
+    if cfg.use_ext_priors:
+        r_e = jax.vmap(
+            lambda c, Tp, si: priors.pose_prior_residual(Tp, p.T_SC[c], si)
+        )(jnp.arange(p.C, dtype=jnp.int32), p.ext_prior_T,
+          p.ext_prior_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_e * p.ext_prior_valid.astype(dtype)[:, None]) ** 2
         )
     return cost
 

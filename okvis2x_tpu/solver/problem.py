@@ -37,6 +37,11 @@ class BAProblem(NamedTuple):
     # -- extrinsics ---------------------------------------------------------
     T_SC: jax.Array  # (C, 7)
     ext_fixed: jax.Array  # (C,) bool
+    # online extrinsics calibration priors (≙ CameraParameters::
+    # OnlineCalibrationParameters sigma_r/sigma_alpha, Parameters.hpp:70-80)
+    ext_prior_T: jax.Array  # (C, 7)
+    ext_prior_sqrt_info: jax.Array  # (C, 6, 6)
+    ext_prior_valid: jax.Array  # (C,) bool
     # -- landmarks ----------------------------------------------------------
     hp_W: jax.Array  # (L, 4) homogeneous
     lm_valid: jax.Array  # (L,) bool
@@ -138,6 +143,9 @@ def empty_problem(
         sb_fixed=jnp.zeros((K,), bool),
         T_SC=jnp.tile(se3.se3_identity(dtype), (C, 1)),
         ext_fixed=jnp.ones((C,), bool),
+        ext_prior_T=jnp.tile(se3.se3_identity(dtype), (C, 1)),
+        ext_prior_sqrt_info=jnp.tile(jnp.eye(6, dtype=dtype), (C, 1, 1)),
+        ext_prior_valid=jnp.zeros((C,), bool),
         hp_W=jnp.tile(jnp.array([0, 0, 0, 1], dtype), (L, 1)),
         lm_valid=jnp.zeros((L,), bool),
         lm_fixed=jnp.zeros((L,), bool),

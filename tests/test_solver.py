@@ -232,3 +232,44 @@ def test_rel_analytic_jacobian_matches_autodiff():
             np.asarray(Jrow_an[e, :, j * 15 : j * 15 + 6]), np.asarray(Jj),
             atol=1e-9,
         )
+
+
+def test_online_extrinsics_calibration():
+    """Online extrinsics estimation (≙ OnlineCalibrationParameters +
+    the reference's extrinsics-estimation estimator variants): a perturbed
+    T_SC is pulled back to the true calibration by the reprojection factors
+    under a loose extrinsics prior."""
+    from okvis2x_tpu.core import se3
+    from okvis2x_tpu.testing import synthetic_window_problem
+
+    p, cams = synthetic_window_problem(
+        K=6, L=128, N=1024, dtype=jnp.float64, noise_px=0.1
+    )
+    T_SC_true = np.asarray(p.T_SC)
+    # perturb camera 1 extrinsics: 2 cm + ~1.7 deg
+    d = jnp.asarray(np.array([0.02, -0.015, 0.01, 0.02, -0.015, 0.01]))
+    T_SC_bad = np.asarray(p.T_SC).copy()
+    T_SC_bad[1] = np.asarray(se3.retract(jnp.asarray(T_SC_true[1]), d))
+
+    si = np.diag(np.concatenate([np.full(3, 1 / 5.0), np.full(3, 1 / 5.0)]))
+    p_bad = p._replace(
+        T_SC=jnp.asarray(T_SC_bad),
+        ext_fixed=jnp.array([True, False]),  # cam0 fixes the gauge
+        ext_prior_T=jnp.asarray(T_SC_bad),
+        ext_prior_sqrt_info=jnp.asarray(np.tile(si, (2, 1, 1))),
+        ext_prior_valid=jnp.ones(2, bool),
+    )
+    cfg = gn.SolverConfig(max_iterations=15, use_ext_priors=True)
+    p_opt, cost = jax.jit(lambda pp: gn.optimize(pp, cams, cfg))(p_bad)
+
+    err_before = np.linalg.norm(T_SC_bad[1][:3] - T_SC_true[1][:3])
+    err_after = np.linalg.norm(
+        np.asarray(p_opt.T_SC)[1][:3] - T_SC_true[1][:3]
+    )
+    assert err_after < 0.3 * err_before, (err_before, err_after)
+    # with calibration off, extrinsics must not move
+    cfg_off = gn.SolverConfig(max_iterations=3)
+    p_off, _ = jax.jit(lambda pp: gn.optimize(pp, cams, cfg_off))(
+        p_bad._replace(ext_fixed=jnp.ones(2, bool))
+    )
+    np.testing.assert_allclose(np.asarray(p_off.T_SC), T_SC_bad, atol=1e-12)
