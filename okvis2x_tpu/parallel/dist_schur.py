@@ -121,21 +121,32 @@ def _linearize_local(p: BAProblem, cams: gn.StackedCameras, cfg: gn.SolverConfig
         b_f = b_f - Jf.T @ rf
         cost = cost + 0.5 * jnp.sum(rf * rf)
 
-    r_r, Jrow_r, valid_r = gn._linearize_rel(p)
-    mr = valid_r.astype(dtype)[:, None]
-    Jr = (Jrow_r * mr[..., None] * fmask[None, None, :]).reshape(-1, Pdim)
-    rr = (r_r * mr).reshape(-1)
-    H_ff = H_ff + Jr.T @ Jr
-    b_f = b_f - Jr.T @ rr
-    cost = cost + 0.5 * jnp.sum(rr * rr)
+    if p.rel_i.shape[0]:
+        r_r, Jrow_r, valid_r = gn._linearize_rel(p)
+        mr = valid_r.astype(dtype)[:, None]
+        Jr = (Jrow_r * mr[..., None] * fmask[None, None, :]).reshape(-1, Pdim)
+        rr = (r_r * mr).reshape(-1)
+        H_ff = H_ff + Jr.T @ Jr
+        b_f = b_f - Jr.T @ rr
+        cost = cost + 0.5 * jnp.sum(rr * rr)
 
-    r_g, Jrow_g, valid_g = gn._linearize_gps(p, cfg)
-    mg = valid_g.astype(dtype)[:, None]
-    Jg = (Jrow_g * mg[..., None] * fmask[None, None, :]).reshape(-1, Pdim)
-    rg = (r_g * mg).reshape(-1)
-    H_ff = H_ff + Jg.T @ Jg
-    b_f = b_f - Jg.T @ rg
-    cost = cost + 0.5 * jnp.sum(rg * rg)
+    if p.gps_frame.shape[0]:
+        r_g, Jrow_g, valid_g = gn._linearize_gps(p, cfg)
+        mg = valid_g.astype(dtype)[:, None]
+        Jg = (Jrow_g * mg[..., None] * fmask[None, None, :]).reshape(-1, Pdim)
+        rg = (r_g * mg).reshape(-1)
+        H_ff = H_ff + Jg.T @ Jg
+        b_f = b_f - Jg.T @ rg
+        cost = cost + 0.5 * jnp.sum(rg * rg)
+
+    if cfg.use_ext_priors:
+        r_e, Jrow_e, valid_e = gn._linearize_ext_priors(p)
+        me = valid_e.astype(dtype)[:, None]
+        Je = (Jrow_e * me[..., None] * fmask[None, None, :]).reshape(-1, Pdim)
+        re = (r_e * me).reshape(-1)
+        H_ff = H_ff + Je.T @ Je
+        b_f = b_f - Je.T @ re
+        cost = cost + 0.5 * jnp.sum(re * re)
 
     fmask_b = fmask > 0
     H_ff = jnp.where(
@@ -176,8 +187,11 @@ def _cost_local(p, cams, cfg):
             cfg.imu_params, pre_, si, p.T_WS[i], p.sb[i], p.T_WS[j], p.sb[j]
         )
 
-    r_i = jax.vmap(imu_one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
-    cost = cost + 0.5 * jnp.sum((r_i * p.imu_valid.astype(dtype)[:, None]) ** 2)
+    if p.imu_i.shape[0]:
+        r_i = jax.vmap(imu_one)(p.imu_i, p.imu_j, p.imu_pre, p.imu_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_i * p.imu_valid.astype(dtype)[:, None]) ** 2
+        )
 
     ks = jnp.arange(p.K, dtype=jnp.int32)
     r_pp = jax.vmap(
@@ -188,20 +202,37 @@ def _cost_local(p, cams, cfg):
         lambda k, sbp, si: priors.speed_bias_prior_residual(sbp, p.sb[k], si)
     )(ks, p.sb_prior, p.sb_prior_sqrt_info)
     cost = cost + 0.5 * jnp.sum((r_sb * p.sb_prior_valid.astype(dtype)[:, None]) ** 2)
-    r_r = jax.vmap(
-        lambda i, j, Tr, si: priors.relative_pose_residual(Tr, p.T_WS[i], p.T_WS[j], si)
-    )(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
-    cost = cost + 0.5 * jnp.sum((r_r * p.rel_valid.astype(dtype)[:, None]) ** 2)
-
-    from okvis2x_tpu.factors import gps as gps_mod
-
-    r_g = jax.vmap(
-        lambda fi, pre_, pg, si: gps_mod.residual_async(
-            cfg.imu_params, pre_, p.T_GW, p.T_WS[fi], p.sb[fi], pg,
-            p.gps_r_SA, si,
+    if p.rel_i.shape[0]:
+        r_r = jax.vmap(
+            lambda i, j, Tr, si: priors.relative_pose_residual(
+                Tr, p.T_WS[i], p.T_WS[j], si
+            )
+        )(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_r * p.rel_valid.astype(dtype)[:, None]) ** 2
         )
-    )(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
-    cost = cost + 0.5 * jnp.sum((r_g * p.gps_valid.astype(dtype)[:, None]) ** 2)
+
+    if p.gps_frame.shape[0]:
+        from okvis2x_tpu.factors import gps as gps_mod
+
+        r_g = jax.vmap(
+            lambda fi, pre_, pg, si: gps_mod.residual_async(
+                cfg.imu_params, pre_, p.T_GW, p.T_WS[fi], p.sb[fi], pg,
+                p.gps_r_SA, si,
+            )
+        )(p.gps_frame, p.gps_pre, p.gps_p_G, p.gps_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_g * p.gps_valid.astype(dtype)[:, None]) ** 2
+        )
+
+    if cfg.use_ext_priors:
+        r_e = jax.vmap(
+            lambda c, Tp, si: priors.pose_prior_residual(Tp, p.T_SC[c], si)
+        )(jnp.arange(p.C, dtype=jnp.int32), p.ext_prior_T,
+          p.ext_prior_sqrt_info)
+        cost = cost + 0.5 * jnp.sum(
+            (r_e * p.ext_prior_valid.astype(dtype)[:, None]) ** 2
+        )
     return cost
 
 
@@ -240,9 +271,17 @@ def optimize_distributed(
 
         lam0 = jnp.asarray(cfg.init_lambda, p_local.T_WS.dtype)
         cost0 = _cost_local(p_local, cams, cfg)
-        prob, _, cost = jax.lax.fori_loop(
-            0, cfg.max_iterations, body, (p_local, lam0, cost0)
-        )
+        carry = (p_local, lam0, cost0)
+        if cfg.unroll:
+            # straight-line LM (dynamic loop steps pay a fixed sequencer
+            # sync per step on TPU runtimes — see gauss_newton.optimize)
+            for _ in range(cfg.max_iterations):
+                carry = body(0, carry)
+            prob, _, cost = carry
+        else:
+            prob, _, cost = jax.lax.fori_loop(
+                0, cfg.max_iterations, body, carry
+            )
         return prob, cost
 
     sharding = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)

@@ -120,3 +120,38 @@ def test_stereo_net_contract():
     assert sigma.shape == (64, 96)
     assert bool(jnp.isfinite(disp).all())
     assert float(sigma.min()) > 0
+
+
+def test_mvs_net_contract():
+    """MvsNet I/O contract (≙ mvs-sigma.pt consumed at
+    DepthFusionProcessor.cpp:78-497): (ref, sources, K, T_sr[, hints]) ->
+    full-res (depth, sigma), depth within the hypothesis range."""
+    import jax
+
+    from okvis2x_tpu.models.mvs_net import init_mvs_net
+
+    H, W, S = 48, 64, 2
+    net, params = init_mvs_net(jax.random.PRNGKey(0), H, W, n_sources=S,
+                               n_depths=16)
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.uniform(size=(H, W)).astype(np.float32))
+    srcs = jnp.asarray(rng.uniform(size=(S, H, W)).astype(np.float32))
+    K = jnp.array([80.0, 80.0, W / 2, H / 2], jnp.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+    T[0, 0, 3] = 0.1  # 10 cm baseline
+    T[1, 0, 3] = -0.1
+    hints = np.zeros((H, W), np.float32)
+    hints[20:25, 30:35] = 2.0
+
+    depth, sigma = jax.jit(
+        lambda p, r, s, k, t, h: net.apply(p, r, s, k, t, h)
+    )(params, ref, srcs, K, jnp.asarray(T), jnp.asarray(hints))
+    assert depth.shape == (H, W) and sigma.shape == (H, W)
+    d = np.asarray(depth)
+    assert np.all(np.isfinite(d)) and np.all(np.asarray(sigma) > 0)
+    assert d.min() >= net.d_min - 1e-3 and d.max() <= net.d_max + 1e-3
+    # hint channel changes the prediction (metadata path is live)
+    depth2, _ = jax.jit(
+        lambda p, r, s, k, t: net.apply(p, r, s, k, t, None)
+    )(params, ref, srcs, K, jnp.asarray(T))
+    assert not np.allclose(np.asarray(depth2), d)
