@@ -221,3 +221,53 @@ class ThreadedRunner:
                     break
         self.q.shutdown()
         return self.results
+
+
+class LatestValuePublisher:
+    """Type-erased latest-value publisher thread (≙ okvis::ThreadedPublisher,
+    okvis_util/include/okvis/ThreadedPublisher.hpp:56-64): producers call
+    `publish(value)` from any thread; a dedicated consumer thread invokes
+    the callback with the MOST RECENT value only — intermediate values are
+    dropped, decoupling slow consumers (visualisation, ROS2 publishing)
+    from the realtime pipeline."""
+
+    def __init__(self, callback: Callable):
+        self._callback = callback
+        self._cv = threading.Condition()
+        self._latest = None
+        self._has_value = False
+        self._shutdown = False
+        self.n_published = 0
+        self.n_delivered = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="latest-value-publisher", daemon=True
+        )
+        self._thread.start()
+
+    def publish(self, value):
+        with self._cv:
+            self._latest = value
+            self._has_value = True
+            self.n_published += 1
+            self._cv.notify()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._has_value and not self._shutdown:
+                    self._cv.wait()
+                if self._shutdown and not self._has_value:
+                    return
+                value = self._latest
+                self._has_value = False
+            try:
+                self._callback(value)
+            finally:
+                self.n_delivered += 1
+
+    def shutdown(self, wait: bool = True):
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify()
+        if wait:
+            self._thread.join(timeout=10.0)

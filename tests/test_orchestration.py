@@ -200,3 +200,29 @@ def test_tracking_quality_monitor():
     )
     # no matches -> Lost
     assert pipe._tracking_quality([fd(0, [128, 96])]) == TrackingQuality.LOST
+
+
+def test_latest_value_publisher():
+    """≙ okvis::ThreadedPublisher: slow consumers see only the freshest
+    value; all published values are coalesced, none block the producer."""
+    import threading
+    import time
+
+    from okvis2x_tpu.pipeline.queues import LatestValuePublisher
+
+    seen = []
+    gate = threading.Event()
+
+    def slow_cb(v):
+        gate.wait(5.0)  # consumer blocked until we open the gate
+        seen.append(v)
+
+    pub = LatestValuePublisher(slow_cb)
+    for i in range(50):
+        pub.publish(i)  # never blocks
+    gate.set()
+    pub.shutdown(wait=True)
+    assert seen, "nothing delivered"
+    assert seen[-1] == 49  # freshest value wins
+    assert len(seen) < 50  # intermediate values coalesced
+    assert pub.n_published == 50
