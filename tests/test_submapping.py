@@ -107,3 +107,63 @@ def test_vtk_bbox_export(tmp_path):
     np_pts = [l for l in lines if l.startswith("POINTS")]
     assert np_pts and np_pts[0].split()[1] == "16"
     assert "CELL_TYPES 2" in "\n".join(lines)
+
+
+def _state(fid, t, x, kf=True):
+    from okvis2x_tpu import api
+
+    return api.State(
+        id=fid, timestamp=t,
+        T_WS=np.array([x, 0, 0, 0, 0, 0, 1.0]),
+        v_W=np.zeros(3), b_g=np.zeros(3), b_a=np.zeros(3),
+        omega_S=np.zeros(3), is_keyframe=kf,
+    )
+
+
+def test_async_submapping_waits_for_states(tmp_path):
+    """AsyncSubmapping (≙ SubmappingInterface integrationLoop +
+    processSupereightFrames threads): measurements queued BEFORE their
+    bracketing states arrive are held back, interpolated once the
+    trajectory covers them, and integrated on the worker thread."""
+    import time
+
+    from okvis2x_tpu.pipeline.submapping_runner import AsyncSubmapping
+
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    runner = AsyncSubmapping(si, cam=cam)
+
+    depth = wall_depth(cam, z=3.0)
+    # measurements first — no states yet
+    runner.add_depth_measurement(0.05, depth)
+    runner.add_depth_measurement(0.15, depth)
+    time.sleep(0.15)
+    assert runner.n_integrated == 0  # held back: trajectory empty
+
+    runner.state_update_callback(_state(0, 0.0, 0.0))
+    runner.state_update_callback(_state(1, 0.1, 0.05))
+    runner.state_update_callback(_state(2, 0.2, 0.10))
+    runner.finish()
+    assert runner.n_integrated == 2, runner.n_dropped
+    assert si.active is not None and si.active.n_frames >= 1
+    occ = np.asarray(si.active.sm.logodds)
+    assert (occ > 0).sum() > 0  # wall voxels marked occupied
+
+
+def test_async_submapping_reanchors_on_correction(tmp_path):
+    from okvis2x_tpu.pipeline.submapping_runner import AsyncSubmapping
+
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    runner = AsyncSubmapping(si, cam=cam)
+    runner.state_update_callback(_state(0, 0.0, 0.0))
+    runner.add_depth_measurement(0.0, wall_depth(cam))
+    runner.state_update_callback(_state(1, 0.1, 0.05))
+    runner.finish()
+    assert si.active is not None
+    anchor = si.active.anchor_fid
+    # loop-closure correction: keyframe pose moved by 1 m
+    corrected = _state(anchor, 0.0, 1.0)
+    runner2_states = {corrected.id: corrected.T_WS}
+    si.on_state_update(runner2_states)
+    np.testing.assert_allclose(np.asarray(si.active.sm.T_WK)[:3], [1, 0, 0])
