@@ -51,6 +51,40 @@ def pick_reader(name: str, ds_dir: str, num_cams: int):
     raise ValueError(name)
 
 
+def record_mode(args):
+    """Dataset recorder (≙ okvis_apps/src/okvis_app_realsense_recorder.cpp):
+    sensor callbacks → DatasetWriter, EuRoC layout. Uses the live Realsense
+    when librealsense is present, else replays --dataset through the fake
+    driver (deterministic CI path)."""
+    from okvis2x_tpu.io.dataset_writer import DatasetWriter
+    from okvis2x_tpu.io.realsense import FakeRealsense, Realsense
+
+    writer = DatasetWriter(args.record)
+    if args.dataset:
+        ds = pick_reader(args.reader, args.dataset, 2)
+        rs = FakeRealsense(ds)
+    else:
+        rs = Realsense()
+    rs.set_imu_callback(writer.add_imu)
+    rs.set_images_callback(writer.add_images)
+    rs.set_depth_callback(lambda t, d: writer.add_depth(t, d))
+    rs.start_streaming()
+    try:
+        if args.dataset:
+            # fake driver: wait for the replay to finish naturally
+            rs.wait_done()
+            rs.stop_streaming()
+        else:
+            import time as _time
+
+            _time.sleep(args.max_frames / 30.0 if args.max_frames else 10.0)
+            rs.stop_streaming()
+    finally:
+        writer.close()
+    print(f"recorded dataset at {args.record}")
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=False, help="dataset dir")
@@ -70,7 +104,20 @@ def main():
         help="generate a synthetic dataset into --output/synth and run on it",
     )
     ap.add_argument("--final-ba", action="store_true", default=True)
+    ap.add_argument(
+        "--record", default=None, metavar="DIR",
+        help="recorder mode (≙ okvis_app_realsense_recorder): stream the "
+        "live camera (or --dataset replay) into an EuRoC-layout dataset "
+        "at DIR, no estimation",
+    )
+    ap.add_argument("--imu-csv", default=None,
+                    help="dump raw IMU to this CSV (≙ setImuCsvFile)")
+    ap.add_argument("--tracks-csv", default=None,
+                    help="dump cam0 keypoint tracks CSV (≙ setTracksCsvFile)")
     args = ap.parse_args()
+
+    if args.record:
+        return record_mode(args)
 
     # configure JAX (platform override, compile cache) BEFORE importing any
     # module with jnp constants — those initialise the default backend
@@ -134,6 +181,10 @@ def main():
     )
     vio = VioPipeline(cameras, T_SC, est_cfg, pipe_cfg)
     pipe = vio
+    if args.imu_csv:
+        vio.set_imu_csv_file(args.imu_csv)
+    if args.tracks_csv:
+        vio.set_tracks_csv_file(0, args.tracks_csv)
 
     submapper = None
     if args.mode == "depth":

@@ -145,6 +145,11 @@ class FakeRealsense(RealsenseBase):
                     self.images_cb(data.t, imgs)
                 prev_t = data.t if prev_t is None else prev_t
 
+    def wait_done(self, timeout: float = 300.0):
+        """Block until the replay finished naturally (recorder use)."""
+        if self._thread:
+            self._thread.join(timeout=timeout)
+
     def stop_streaming(self):
         self._running = False
         if self._thread:

@@ -123,6 +123,9 @@ class VioPipeline:
         self.components: List[dict] = []
         self.relocalised = False
         self.n_relocalisations = 0
+        # optional debug CSV writers (≙ ViInterface csv hooks)
+        self._imu_csv = None
+        self._tracks_csv: Dict[int, object] = {}
         from okvis2x_tpu.graph.fullgraph import FullGraphOptimizer
 
         self.full_graph = FullGraphOptimizer(
@@ -855,10 +858,36 @@ class VioPipeline:
         return n_new
 
     def add_imu_measurement(self, t, gyr, acc):
+        if self._imu_csv is not None:
+            self._imu_csv.add(t, gyr, acc)
         self.est.add_imu_measurement(t, gyr, acc)
 
     def add_gps_measurement(self, t, pos_G, err):
         self.est.add_gps_measurement(t, pos_G, err)
+
+    # -- debug CSV hooks (≙ ViInterface::setImuCsvFile/setTracksCsvFile) ----
+    def set_imu_csv_file(self, path: str):
+        from okvis2x_tpu.io.debug_csv import ImuCsvWriter
+
+        self._imu_csv = ImuCsvWriter(path)
+
+    def set_tracks_csv_file(self, cam: int, path: str):
+        from okvis2x_tpu.io.debug_csv import TracksCsvWriter
+
+        self._tracks_csv[cam] = TracksCsvWriter(path)
+
+    def _write_tracks_csv(self, t: float, frame_data):
+        for c, w in self._tracks_csv.items():
+            if c >= len(frame_data):
+                continue
+            fd = frame_data[c]
+            sel = fd.lid >= 0
+            if not np.any(sel):
+                continue
+            w.add_frame(
+                t, fd.lid[sel], fd.uv[sel],
+                np.full(int(sel.sum()), 1.0), fd.packed[sel],
+            )
 
     def process_frame(
         self, t: float, images: List[np.ndarray], depth_images=None
@@ -923,6 +952,8 @@ class VioPipeline:
 
         f = est.get_state(fid)
         self.states_log.append((t, f.T_WS.copy()))
+        if self._tracks_csv:
+            self._write_tracks_csv(t, frame_data)
         return dict(
             fid=fid, is_keyframe=is_kf, n_map=n_map,
             n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),

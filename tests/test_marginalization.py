@@ -153,3 +153,38 @@ def test_mst():
     assert len(mst) == 3
     weights = sorted(w for _, _, w in mst)
     assert weights == [1.0, 4.0, 5.0]
+
+
+def _ext_edge(d):
+    return marginalization.two_pose_extrinsics_edge(
+        d["cams"], d["T_a"], d["T_b"], d["T_SC"], d["hp"], d["lm_mask"],
+        d["obs_pose"], d["obs_cam"], d["obs_lm"], d["obs_uv"],
+        d["obs_sqrt_info"], d["obs_mask"],
+    )
+
+
+def test_extrinsics_edge_zero_residual_and_psd():
+    """≙ TwoPoseExtrinsicsGraphError: measurement = current relative pose,
+    information PSD."""
+    d = build_pair()
+    T_ab, sqrt_info, strength = _ext_edge(d)
+    r = priors.relative_pose_residual(T_ab, d["T_a"], d["T_b"], sqrt_info)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-8)
+    H = np.asarray(sqrt_info) @ np.asarray(sqrt_info)
+    ev = np.linalg.eigvalsh(0.5 * (H + H.T))
+    assert ev.min() > -1e-6
+    assert float(strength) > 0
+
+
+def test_extrinsics_edge_weaker_than_fixed_extrinsics():
+    """Marginalising the extrinsics can only REMOVE information: the
+    extrinsics-variant Hessian must be dominated by the fixed-extrinsics
+    one (H_fixed - H_ext PSD up to numerical tolerance)."""
+    d = build_pair()
+    _, si_fixed, s_fixed = _edge(d)
+    _, si_ext, s_ext = _ext_edge(d)
+    H_fixed = np.asarray(si_fixed) @ np.asarray(si_fixed)
+    H_ext = np.asarray(si_ext) @ np.asarray(si_ext)
+    assert float(s_ext) <= float(s_fixed) + 1e-6
+    ev = np.linalg.eigvalsh(0.5 * ((H_fixed - H_ext) + (H_fixed - H_ext).T))
+    assert ev.min() > -1e-5 * max(1.0, ev.max())

@@ -81,3 +81,34 @@ def test_fake_realsense_streams_in_order(synth_ds):
     assert all(b >= a - 1e-6 for a, b in zip(ts, ts[1:])), "out of order"
     n_img = sum(1 for k, _ in events if k == "img")
     assert n_img == len([f for f in ds.frames if f.paths[0]])
+
+
+def test_recorder_mode_roundtrip(tmp_path):
+    """--record (≙ okvis_app_realsense_recorder): replay a synthetic dataset
+    through the fake driver into DatasetWriter, re-read with EurocDataset."""
+    import sys
+    import types
+
+    from okvis2x_tpu.io import euroc, synthetic
+
+    src = str(tmp_path / "src")
+    synthetic.generate(src, duration=1.0, frame_rate=10.0, width=64, height=48)
+    n_src = len(euroc.EurocDataset(src).frames)
+
+    sys.path.insert(0, "apps")
+    try:
+        import okvis2x_app
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "rec")
+    args = types.SimpleNamespace(
+        record=out, dataset=src, reader="euroc", max_frames=0
+    )
+    okvis2x_app.record_mode(args)
+
+    ds = euroc.EurocDataset(out)
+    assert len(ds.frames) == n_src  # every replayed frame recorded
+    assert len(ds.frames) >= 3
+    n_imu = sum(1 for k, _ in ds.events() if k == "imu")
+    assert n_imu > 50
