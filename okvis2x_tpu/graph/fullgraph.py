@@ -37,9 +37,17 @@ import numpy as np
 class FullGraphOptimizer:
     """One in-flight background pose-graph optimisation at a time."""
 
-    def __init__(self, iterations: int = 15, dtype=jnp.float64):
+    def __init__(self, iterations: int = 15, dtype=jnp.float64,
+                 pcg_threshold: int = 256, mesh=None):
+        """`pcg_threshold`: above this many keyframes the dense (6K)^2
+        normal-equation solve is replaced by the matrix-free edge-sharded
+        PCG solver (parallel/dist_posegraph), optionally distributed over
+        `mesh` — the scalability story the reference's sparse-Ceres
+        background thread cannot reach."""
         self.iterations = iterations
         self.dtype = dtype
+        self.pcg_threshold = pcg_threshold
+        self.mesh = mesh
         self._thread: Optional[threading.Thread] = None
         self._snap: Optional[dict] = None
         self._result: Optional[np.ndarray] = None
@@ -76,13 +84,22 @@ class FullGraphOptimizer:
         self._snap = snap
 
         def work():
-            from okvis2x_tpu.graph import posegraph
+            if snap["T"].shape[0] > self.pcg_threshold:
+                from okvis2x_tpu.parallel import dist_posegraph
 
-            T_opt, cost = posegraph.optimize_pose_graph(
-                snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                snap["eT"], snap["eS"], iterations=self.iterations,
-                dtype=self.dtype,
-            )
+                T_opt, cost = dist_posegraph.optimize_pose_graph_pcg(
+                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                    snap["eT"], snap["eS"], iterations=self.iterations,
+                    mesh=self.mesh, dtype=self.dtype,
+                )
+            else:
+                from okvis2x_tpu.graph import posegraph
+
+                T_opt, cost = posegraph.optimize_pose_graph(
+                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                    snap["eT"], snap["eS"], iterations=self.iterations,
+                    dtype=self.dtype,
+                )
             T_opt = np.asarray(T_opt)
             with self._lock:
                 self._result = T_opt

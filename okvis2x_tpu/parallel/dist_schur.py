@@ -26,7 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from okvis2x_tpu.parallel.mesh import OBS_AXIS
 from okvis2x_tpu.solver import gauss_newton as gn
@@ -254,7 +254,7 @@ def optimize_distributed(
         mesh=mesh,
         in_specs=(specs,),
         out_specs=(specs, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(p_local):
         def body(_, carry):

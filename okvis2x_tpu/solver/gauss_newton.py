@@ -312,30 +312,35 @@ def _so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     return jnp.eye(3, dtype=dtype) - 0.5 * px + c * (px @ px)
 
 
+def rel_residual_jacobians(T_A, T_B, Trel, si):
+    """Whitened relative-pose residual + closed-form minimal Jacobians for
+    one edge (≙ RelativePoseError::EvaluateWithMinimalJacobians; autodiff
+    through the quaternion chain emits ~200 unfused kernels for the same
+    math — ~7x the launches).  Shared by the dense window solver and the
+    edge-sharded distributed pose-graph solver (parallel/dist_posegraph)."""
+    dtype = T_A.dtype
+    q_A = se3.se3_q(T_A)
+    R_AT = se3.quat_to_matrix(se3.quat_conjugate(q_A))  # R_A^T
+    D = se3.se3_t(T_B) - se3.se3_t(T_A)  # world-frame baseline
+    t_AB = R_AT @ D
+    q_AB = se3.quat_multiply(se3.quat_conjugate(q_A), se3.se3_q(T_B))
+    e0 = se3.quat_multiply(q_AB, se3.quat_conjugate(se3.se3_q(Trel)))
+    phi = se3.quat_log(e0)
+    r = si @ jnp.concatenate([t_AB - se3.se3_t(Trel), phi])
+    # world-frame left perturbations (retract: q <- dq(a) q) map into the
+    # error log through R_A^T; the exact log derivative is Jl^{-1}(phi)
+    JlR = _so3_left_jacobian_inv(phi) @ R_AT
+    Z = jnp.zeros((3, 3), dtype)
+    Ji = si @ jnp.block([[-R_AT, R_AT @ se3.cross_matrix(D)], [Z, -JlR]])
+    Jj = si @ jnp.block([[R_AT, Z], [Z, JlR]])
+    return r, Ji, Jj
+
+
 def _linearize_rel(p: BAProblem):
-    """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows
-    with closed-form minimal Jacobians (≙ RelativePoseError::
-    EvaluateWithMinimalJacobians; autodiff through the quaternion chain
-    emits ~200 unfused kernels for the same math — ~7x the launches)."""
-    dtype = p.T_WS.dtype
+    """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows."""
 
     def one(i, j, Trel, si):
-        T_A, T_B = p.T_WS[i], p.T_WS[j]
-        q_A = se3.se3_q(T_A)
-        R_AT = se3.quat_to_matrix(se3.quat_conjugate(q_A))  # R_A^T
-        D = se3.se3_t(T_B) - se3.se3_t(T_A)  # world-frame baseline
-        t_AB = R_AT @ D
-        q_AB = se3.quat_multiply(se3.quat_conjugate(q_A), se3.se3_q(T_B))
-        e0 = se3.quat_multiply(q_AB, se3.quat_conjugate(se3.se3_q(Trel)))
-        phi = se3.quat_log(e0)
-        r = si @ jnp.concatenate([t_AB - se3.se3_t(Trel), phi])
-        # world-frame left perturbations (retract: q <- dq(a) q) map into the
-        # error log through R_A^T; the exact log derivative is Jl^{-1}(phi)
-        JlR = _so3_left_jacobian_inv(phi) @ R_AT
-        Z = jnp.zeros((3, 3), dtype)
-        Ji = si @ jnp.block([[-R_AT, R_AT @ se3.cross_matrix(D)], [Z, -JlR]])
-        Jj = si @ jnp.block([[R_AT, Z], [Z, JlR]])
-        return r, Ji, Jj
+        return rel_residual_jacobians(p.T_WS[i], p.T_WS[j], Trel, si)
 
     r, Ji, Jj = jax.vmap(one)(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
     Jrow = _frame_rows(

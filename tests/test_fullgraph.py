@@ -169,3 +169,29 @@ def test_dispatch_rejects_tiny_graph():
     assert not opt.dispatch(est)
     assert not opt.is_loop_closure_available
     assert not opt.synchronise(est)
+
+
+def test_background_pcg_path_matches_dense():
+    """With pcg_threshold=0 the worker routes through the edge-sharded
+    matrix-free PCG solver (parallel/dist_posegraph); results must agree
+    with the dense pose-graph solve."""
+    n = 12
+    gt = circle_poses(n)
+    drifted = _drifted(gt)
+    T_loop = _loop_edge(gt, n)
+
+    results = []
+    for thresh in (256, 0):
+        est = make_est()
+        _build(est, gt, drifted, n)
+        opt = FullGraphOptimizer(iterations=15, dtype=est.cfg.dtype,
+                                 pcg_threshold=thresh)
+        assert est.add_loop_edge(n - 1, 0, T_loop, np.eye(6) * 500.0)
+        assert opt.dispatch(est)
+        assert opt.join(timeout=120.0)
+        assert opt.synchronise(est)
+        ns, _ = est.pose_graph()
+        results.append([f.T_WS.copy() for f in ns])
+
+    for a, b in zip(*results):
+        np.testing.assert_allclose(a, b, atol=1e-6)
