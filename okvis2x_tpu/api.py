@@ -160,3 +160,118 @@ class Trajectory:
         del self._imu_t[: max(i - 1, 0)]
         del self._imu_gyr[: max(i - 1, 0)]
         del self._imu_acc[: max(i - 1, 0)]
+
+    def propagate_batch(self, times: np.ndarray) -> np.ndarray:
+        """Poses T_WS (N, 7) at a batch of timestamps — the client-side
+        equivalent of the reference's `BatchedLidarPropagator`
+        (ViInterface.hpp:208-230), used to deskew per-ray LiDAR / rolling
+        sensor data.  Each query propagates from the nearest earlier
+        estimator state through the raw IMU buffer; consecutive queries
+        share the incremental propagation (one sweep, not N restarts)."""
+        times = np.asarray(times, np.float64)
+        order = np.argsort(times)
+        out = np.zeros((len(times), 7))
+        # consecutive sorted timestamps usually share the same base state;
+        # propagate incrementally inside each base segment
+        prev_base = None
+        prev_state: Optional[State] = None
+        for idx in order:
+            t = float(times[idx])
+            if not self._states:
+                out[idx] = np.array([0, 0, 0, 0, 0, 0, 1.0])
+                continue
+            i = bisect.bisect(self._ts, t)
+            base = self._states[max(i - 1, 0)]
+            if (
+                prev_base is not None
+                and base.id == prev_base.id
+                and prev_state is not None
+                and prev_state.timestamp <= t
+            ):
+                s = self._propagate_from(prev_state, base, t)
+            else:
+                s = self._propagate(base, t) if t > base.timestamp else base
+            out[idx] = s.T_WS
+            prev_base, prev_state = base, s
+        return out
+
+    def _propagate_from(self, start: State, bias_source: State,
+                        t: float) -> State:
+        """Continue Euler-midpoint propagation from an already-propagated
+        state (biases taken from the underlying estimator state)."""
+        tmp = Trajectory(self.imu)
+        tmp._ts = [start.timestamp]
+        tmp._states = [
+            dataclasses.replace(
+                start, b_g=bias_source.b_g, b_a=bias_source.b_a
+            )
+        ]
+        tmp._by_id = {start.id: tmp._states[0]}
+        tmp._imu_t = self._imu_t
+        tmp._imu_gyr = self._imu_gyr
+        tmp._imu_acc = self._imu_acc
+        return tmp._propagate(tmp._states[0], t)
+
+
+class ConstantVelocityPropagator:
+    """No-IMU fallback: propagate a state forward assuming constant linear
+    and angular velocity (≙ okvis::ConstantVelocityPropagator,
+    ViInterface.hpp:208-230 — used when the rig has no IMU and the backend
+    runs PseudoImuError factors)."""
+
+    def __init__(self, state: State):
+        self.state = state
+
+    def propagate(self, t: float) -> State:
+        s = self.state
+        dt = t - s.timestamp
+        p = s.T_WS[:3] + s.v_W * dt
+        q = np.asarray(
+            se3.quat_normalize(
+                se3.quat_multiply(
+                    jnp.asarray(s.T_WS[3:7]),
+                    se3.delta_q(jnp.asarray(s.omega_S * dt)),
+                )
+            )
+        )
+        return dataclasses.replace(
+            s, timestamp=t, T_WS=np.concatenate([p, q])
+        )
+
+
+class QueuedTrajectory:
+    """Bounded timestamp-interpolated pose buffer (≙ okvis::
+    QueuedTrajectory, okvis_multisensor_processing QueuedTrajectory.hpp):
+    push (t, T_WS) samples, query poses at arbitrary times by SE(3)
+    interpolation between the bracketing samples.  Used by consumers that
+    only need smooth poses (visualisation, depth registration), not the
+    full IMU-propagated Trajectory."""
+
+    def __init__(self, max_samples: int = 1000):
+        self.max_samples = max_samples
+        self._ts: List[float] = []
+        self._T: List[np.ndarray] = []
+
+    def push(self, t: float, T_WS: np.ndarray):
+        i = bisect.bisect(self._ts, t)
+        self._ts.insert(i, float(t))
+        self._T.insert(i, np.asarray(T_WS, np.float64))
+        if len(self._ts) > self.max_samples:
+            del self._ts[0], self._T[0]
+
+    def get(self, t: float) -> Optional[np.ndarray]:
+        """Interpolated pose at t, or None when t is outside the buffer."""
+        if not self._ts or t < self._ts[0] - 1e-9 or t > self._ts[-1] + 1e-9:
+            return None
+        i = bisect.bisect(self._ts, t)
+        if i == 0:
+            return self._T[0].copy()
+        if i >= len(self._ts):
+            return self._T[-1].copy()
+        t0, t1 = self._ts[i - 1], self._ts[i]
+        alpha = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
+        return np.asarray(
+            se3.se3_interpolate(
+                jnp.asarray(self._T[i - 1]), jnp.asarray(self._T[i]), alpha
+            )
+        )

@@ -112,3 +112,51 @@ def test_recorder_mode_roundtrip(tmp_path):
     assert len(ds.frames) >= 3
     n_imu = sum(1 for k, _ in ds.events() if k == "imu")
     assert n_imu > 50
+
+
+def test_constant_velocity_propagator():
+    from okvis2x_tpu.api import ConstantVelocityPropagator, State
+    import numpy as np
+
+    s = State(id=0, timestamp=1.0,
+              T_WS=np.array([1.0, 2.0, 3.0, 0, 0, 0, 1.0]),
+              v_W=np.array([1.0, 0, 0]), b_g=np.zeros(3), b_a=np.zeros(3),
+              omega_S=np.array([0, 0, 0.1]))
+    p = ConstantVelocityPropagator(s)
+    s2 = p.propagate(2.0)
+    np.testing.assert_allclose(s2.T_WS[:3], [2.0, 2.0, 3.0])
+    # yaw advanced by ~0.1 rad
+    assert abs(2 * np.arcsin(s2.T_WS[5]) - 0.1) < 1e-6
+
+
+def test_queued_trajectory_interpolation():
+    from okvis2x_tpu.api import QueuedTrajectory
+    import numpy as np
+
+    qt = QueuedTrajectory(max_samples=10)
+    assert qt.get(0.0) is None
+    qt.push(0.0, np.array([0, 0, 0, 0, 0, 0, 1.0]))
+    qt.push(1.0, np.array([2.0, 0, 0, 0, 0, 0, 1.0]))
+    T = qt.get(0.5)
+    np.testing.assert_allclose(T[:3], [1.0, 0, 0], atol=1e-12)
+    assert qt.get(2.0) is None
+
+
+def test_trajectory_propagate_batch():
+    from okvis2x_tpu.api import State, Trajectory
+    import numpy as np
+
+    tr = Trajectory()
+    s = State(id=0, timestamp=0.0,
+              T_WS=np.array([0, 0, 0, 0, 0, 0, 1.0]),
+              v_W=np.array([1.0, 0, 0]), b_g=np.zeros(3), b_a=np.zeros(3),
+              omega_S=np.zeros(3))
+    tr.update(s)
+    g = 9.81
+    for k in range(21):  # 100 Hz hover IMU
+        tr.add_imu_measurement(k * 0.01, np.zeros(3), np.array([0, 0, g]))
+    ts = np.array([0.05, 0.1, 0.15, 0.02])
+    T = tr.propagate_batch(ts)
+    # constant velocity 1 m/s in x under hover
+    np.testing.assert_allclose(T[:, 0], ts, atol=1e-3)
+    np.testing.assert_allclose(T[:, 1:3], 0, atol=1e-6)
