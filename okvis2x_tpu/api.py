@@ -19,9 +19,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-import jax.numpy as jnp
 
-from okvis2x_tpu.core import se3
+from okvis2x_tpu.core import se3np
 from okvis2x_tpu.imu.preintegration import ImuParams
 
 
@@ -111,11 +110,12 @@ class Trajectory:
         return self._propagate(base, t)
 
     def _propagate(self, base: State, t: float) -> State:
+        # pure-numpy Euler-midpoint sweep (se3np): one host call per IMU
+        # sample — the jnp version would round-trip the device per sample
         g_W = np.array([0.0, 0.0, -self.imu.g])
-        T = jnp.asarray(base.T_WS)
         v = base.v_W.copy()
         p = base.T_WS[:3].copy()
-        q = jnp.asarray(base.T_WS[3:7])
+        q = np.asarray(base.T_WS[3:7], np.float64)
         t_cur = base.timestamp
         omega = np.zeros(3)
 
@@ -129,21 +129,19 @@ class Trajectory:
             else:
                 t_next = t
                 gyr = omega
-                acc = (
-                    np.asarray(se3.quat_to_matrix(q)).T @ (-g_W)
-                )  # hover assumption
+                acc = se3np.quat_to_matrix(q).T @ (-g_W)  # hover assumption
             dt = t_next - t_cur
             if dt > 0:
-                C = np.asarray(se3.quat_to_matrix(q))
+                C = se3np.quat_to_matrix(q)
                 a_W = C @ acc + g_W
                 p = p + v * dt + 0.5 * a_W * dt * dt
                 v = v + a_W * dt
-                q = se3.quat_normalize(
-                    se3.quat_multiply(q, se3.delta_q(jnp.asarray(gyr * dt)))
+                q = se3np.quat_normalize(
+                    se3np.quat_multiply(q, se3np.delta_q(gyr * dt))
                 )
             omega = gyr
             t_cur = t_next
-        T_WS = np.concatenate([p, np.asarray(q)])
+        T_WS = np.concatenate([p, q])
         return State(
             id=base.id,
             timestamp=t,
@@ -226,13 +224,8 @@ class ConstantVelocityPropagator:
         s = self.state
         dt = t - s.timestamp
         p = s.T_WS[:3] + s.v_W * dt
-        q = np.asarray(
-            se3.quat_normalize(
-                se3.quat_multiply(
-                    jnp.asarray(s.T_WS[3:7]),
-                    se3.delta_q(jnp.asarray(s.omega_S * dt)),
-                )
-            )
+        q = se3np.quat_normalize(
+            se3np.quat_multiply(s.T_WS[3:7], se3np.delta_q(s.omega_S * dt))
         )
         return dataclasses.replace(
             s, timestamp=t, T_WS=np.concatenate([p, q])
@@ -270,8 +263,4 @@ class QueuedTrajectory:
             return self._T[-1].copy()
         t0, t1 = self._ts[i - 1], self._ts[i]
         alpha = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
-        return np.asarray(
-            se3.se3_interpolate(
-                jnp.asarray(self._T[i - 1]), jnp.asarray(self._T[i]), alpha
-            )
-        )
+        return se3np.se3_interpolate(self._T[i - 1], self._T[i], alpha)

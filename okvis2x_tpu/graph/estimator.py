@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from okvis2x_tpu.core import se3
+from okvis2x_tpu.core import se3, se3np
 from okvis2x_tpu.factors import imu_factor
 from okvis2x_tpu.imu import preintegration as pre
 from okvis2x_tpu.solver import gauss_newton as gn
@@ -234,8 +234,13 @@ class SlidingWindowEstimator:
         P = self._preintegrate_span(
             last.timestamp, timestamp, last.sb[3:6], last.sb[6:9]
         )
-        T1, v1 = pre.propagate_state(
-            cfg.imu,
+        if "prop_state" not in self._jit_cache:
+            self._jit_cache["prop_state"] = jax.jit(
+                lambda P_, T_, v_, bg_, ba_: pre.propagate_state(
+                    cfg.imu, P_, T_, v_, bg_, ba_
+                )
+            )
+        T1, v1 = self._jit_cache["prop_state"](
             P,
             jnp.asarray(last.T_WS),
             jnp.asarray(last.sb[0:3]),
@@ -329,8 +334,8 @@ class SlidingWindowEstimator:
         a = float(np.sum(cw[:, 0] * cg[:, 0] + cw[:, 1] * cg[:, 1]))
         b = float(np.sum(cw[:, 0] * cg[:, 1] - cw[:, 1] * cg[:, 0]))
         yaw = np.arctan2(b, a)
-        q = np.asarray(se3.delta_q(jnp.asarray([0.0, 0.0, yaw])))
-        Rz = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+        q = se3np.delta_q(np.array([0.0, 0.0, yaw]))
+        Rz = se3np.quat_to_matrix(q)
         tr = PG.mean(0) - Rz @ PW.mean(0)
         self.T_GW = np.concatenate([tr, q])
         self.gps_status = "Initialised"
@@ -941,10 +946,8 @@ class SlidingWindowEstimator:
                 continue  # never glue a loaded component to the session
             key = (min(a.fid, b.fid), max(a.fid, b.fid))
             if key not in connected:
-                T_ij = np.asarray(
-                    se3.se3_multiply(
-                        se3.se3_inverse(jnp.asarray(a.T_WS)), jnp.asarray(b.T_WS)
-                    )
+                T_ij = se3np.se3_multiply(
+                    se3np.se3_inverse(a.T_WS), b.T_WS
                 )
                 all_edges.append(
                     dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 50.0)
@@ -987,9 +990,9 @@ class SlidingWindowEstimator:
                 break
         dT = None
         if anchor is not None:
-            T_old = jnp.asarray(anchor.T_WS.copy())
-            T_new = jnp.asarray(T_opt[idx[anchor.fid]])
-            dT = se3.se3_multiply(T_new, se3.se3_inverse(T_old))
+            dT = se3np.se3_multiply(
+                T_opt[idx[anchor.fid]], se3np.se3_inverse(anchor.T_WS)
+            )
 
         # write back optimised poses to every snapshot node still known
         window = {f.fid: f for f in self.frames}
@@ -1000,17 +1003,14 @@ class SlidingWindowEstimator:
 
         if dT is None:
             return True
-        dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT)))
+        dR = se3np.quat_to_matrix(dT[3:7])
         for f in self.frames:
             if f.fid in idx or f.pose_graph_frame:
                 continue
-            f.T_WS = np.asarray(se3.se3_multiply(dT, jnp.asarray(f.T_WS)))
+            f.T_WS = se3np.se3_multiply(dT, f.T_WS)
             f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
         if len(self.hp_W):
-            hp = jnp.asarray(self.hp_W)
-            self.hp_W = np.asarray(
-                jax.vmap(lambda h: se3.se3_apply_homogeneous(dT, h))(hp)
-            )
+            self.hp_W = se3np.se3_apply_homogeneous(dT, self.hp_W)
         return True
 
     def rigid_transform(self, dT: np.ndarray, session_only: bool = True):
@@ -1018,27 +1018,21 @@ class SlidingWindowEstimator:
         correction): poses, velocities, landmarks.  With `session_only`,
         loaded-component frames (fid < 0) stay put — used to align the
         running session onto a loaded map at first relocalisation."""
-        dT_j = jnp.asarray(np.asarray(dT, np.float64))
-        dR = np.asarray(se3.quat_to_matrix(se3.se3_q(dT_j)))
+        dT_n = np.asarray(dT, np.float64)
+        dR = se3np.quat_to_matrix(dT_n[3:7])
         for f in list(self.frames) + list(self.archive_frames.values()):
             if session_only and f.fid < 0:
                 continue
-            f.T_WS = np.asarray(se3.se3_multiply(dT_j, jnp.asarray(f.T_WS)))
+            f.T_WS = se3np.se3_multiply(dT_n, f.T_WS)
             f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
         if len(self.hp_W):
-            self.hp_W = np.asarray(
-                jax.vmap(lambda h: se3.se3_apply_homogeneous(dT_j, h))(
-                    jnp.asarray(self.hp_W)
-                )
-            )
+            self.hp_W = se3np.se3_apply_homogeneous(dT_n, self.hp_W)
         for lid in list(self.arch_lm.keys()):
-            self.arch_lm[lid] = np.asarray(
-                se3.se3_apply_homogeneous(dT_j, jnp.asarray(self.arch_lm[lid]))
+            self.arch_lm[lid] = se3np.se3_apply_homogeneous(
+                dT_n, self.arch_lm[lid]
             )
         if self.prior_T is not None:
-            self.prior_T = np.asarray(
-                se3.se3_multiply(dT_j, jnp.asarray(self.prior_T))
-            )
+            self.prior_T = se3np.se3_multiply(dT_n, self.prior_T)
 
     def import_component_frames(
         self, frame_fids, frame_ts, frame_T_WS, edges, fixed: bool = True
@@ -1169,10 +1163,8 @@ class SlidingWindowEstimator:
                 continue  # never glue a loaded component to the session
             key = (min(a.fid, b.fid), max(a.fid, b.fid))
             if key not in connected:
-                T_ij = np.asarray(
-                    se3.se3_multiply(
-                        se3.se3_inverse(jnp.asarray(a.T_WS)), jnp.asarray(b.T_WS)
-                    )
+                T_ij = se3np.se3_multiply(
+                    se3np.se3_inverse(a.T_WS), b.T_WS
                 )
                 all_edges.append(
                     dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 20.0)

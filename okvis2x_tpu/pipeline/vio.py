@@ -31,10 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from okvis2x_tpu.core import se3
+from okvis2x_tpu.core import se3, se3np
 from okvis2x_tpu.frontend import descriptor, detector, matcher, triangulation
 from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
-from okvis2x_tpu.cameras import pinhole
+from okvis2x_tpu.cameras import pinhole, pinhole_np
 
 
 @dataclasses.dataclass
@@ -104,6 +104,9 @@ class VioPipeline:
     ):
         self.cfg = cfg
         self.cameras = cameras
+        # numpy camera twins: host-side gating math stays on the host
+        # (eager jnp ops cost a device round-trip each on remote backends)
+        self.np_cameras = [pinhole_np.to_numpy(c) for c in cameras]
         self.T_SC = np.asarray(T_SC)
         self.est = SlidingWindowEstimator(est_config, cameras, T_SC)
         self.num_cams = len(cameras)
@@ -162,11 +165,9 @@ class VioPipeline:
         projected gravity (≙ Frontend::detectAndDescribe gravity alignment)."""
         out = []
         for c, img in enumerate(images):
-            # gravity direction in camera frame
-            T_WC = np.asarray(
-                se3.se3_multiply(jnp.asarray(T_WS_pred), jnp.asarray(self.T_SC[c]))
-            )
-            C_CW = np.asarray(se3.quat_to_matrix(jnp.asarray(T_WC[3:7]))).T
+            # gravity direction in camera frame (host math: se3np)
+            T_WC = se3np.se3_multiply(np.asarray(T_WS_pred), self.T_SC[c])
+            C_CW = se3np.quat_to_matrix(T_WC[3:7]).T
             g_C = C_CW @ np.array([0.0, 0.0, -1.0])
             ang = float(np.arctan2(g_C[1], g_C[0])) if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
             run = self._detect_fn(img.shape)
@@ -184,14 +185,14 @@ class VioPipeline:
         return out
 
     def _project_landmarks(self, cam_idx: int, T_WS: np.ndarray, hp: np.ndarray):
-        cam = self.cameras[cam_idx]
-        T_CW = se3.se3_multiply(
-            se3.se3_inverse(jnp.asarray(self.T_SC[cam_idx])),
-            se3.se3_inverse(jnp.asarray(T_WS)),
+        """Host-side landmark projection (outlier gating): pure numpy —
+        the index sets are small and dynamically shaped."""
+        T_CW = se3np.se3_multiply(
+            se3np.se3_inverse(self.T_SC[cam_idx]),
+            se3np.se3_inverse(np.asarray(T_WS)),
         )
-        hp_C = se3.se3_apply_homogeneous(T_CW, jnp.asarray(hp))
-        uv, valid = pinhole.project_homogeneous(cam, hp_C)
-        return np.asarray(uv), np.asarray(valid)
+        hp_C = se3np.se3_apply_homogeneous(T_CW, np.asarray(hp))
+        return pinhole_np.project_homogeneous(self.np_cameras[cam_idx], hp_C)
 
     def _match_map_fn(self, cam_idx: int):
         """One fused jitted program per camera: project all (padded)
@@ -305,95 +306,111 @@ class VioPipeline:
             est.obs_depth_sigma = est.obs_depth_sigma[keep]
         return len(bad)
 
+    def _stereo_fn(self):
+        """ONE fused jitted program for rig-stereo initialisation: back-
+        project both keypoint sets, epipolar-gate, Hamming-match on the MXU,
+        midpoint-triangulate every match, and transform to world — fixed
+        shapes (keypoint capacity), so it compiles once and dispatches once
+        per frame (the previous eager version issued ~100 device ops with
+        data-dependent shapes, recompiling every frame on TPU)."""
+        key = ("stereo",)
+        if key not in self._jit:
+            cfg = self.cfg
+            cam0, cam1 = self.cameras[0], self.cameras[1]
+            T_C1C0 = se3np.se3_multiply(
+                se3np.se3_inverse(self.T_SC[1]), self.T_SC[0]
+            )
+            T_C0C1 = se3np.se3_inverse(T_C1C0)
+            E_np = (
+                se3np.cross_matrix(T_C1C0[:3])
+                @ se3np.quat_to_matrix(T_C1C0[3:7])
+            )
+            E = jnp.asarray(E_np, jnp.float32)
+            fpx = float(self.np_cameras[1].fxfycxcy[1])
+            p_B = jnp.asarray(T_C0C1[:3], jnp.float32)
+            R_C0C1 = jnp.asarray(
+                se3np.quat_to_matrix(T_C0C1[3:7]), jnp.float32
+            )
+            T_SC0 = jnp.asarray(self.T_SC[0])
+
+            @jax.jit
+            def run(T_WS, uv0, pm1_0, un0, uv1, pm1_1, un1):
+                r0, v0 = pinhole.back_project(cam0, uv0.astype(jnp.float32))
+                r1, v1 = pinhole.back_project(cam1, uv1.astype(jnp.float32))
+                lines = r0 @ E.T  # (cap, 3) epipolar lines in cam1
+                num = jnp.abs(r1 @ lines.T)  # (cap1, cap0)
+                denom = (
+                    jnp.linalg.norm(lines[:, :2], axis=1)[None, :] + 1e-12
+                )
+                epi_px = num / denom * fpx
+                allowed = (
+                    (epi_px < cfg.epipolar_px * 3)
+                    & (v1 & un1)[:, None]
+                    & (v0 & un0)[None, :]
+                )
+                m = matcher.match_masked(
+                    pm1_1, pm1_0, allowed, max_dist=cfg.stereo_max_dist
+                )
+                x0 = r0[m.idx_b]
+                e_A = x0 / jnp.linalg.norm(x0, axis=-1, keepdims=True)
+                eb = r1 @ R_C0C1.T
+                e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
+                n = e_A.shape[0]
+                tri = triangulation.triangulate(
+                    jnp.zeros((n, 3), jnp.float32), e_A,
+                    jnp.broadcast_to(p_B, (n, 3)), e_B,
+                )
+                hp_C0 = tri.hp_A
+                depth = hp_C0[:, 2] / jnp.maximum(hp_C0[:, 3], 1e-12)
+                ok = (
+                    m.valid & tri.valid & ~tri.parallel
+                    & (depth > cfg.min_triangulation_depth)
+                    & (depth < cfg.max_triangulation_depth)
+                )
+                T_WC0 = se3.se3_multiply(
+                    T_WS, T_SC0.astype(T_WS.dtype)
+                )
+                hp_W = jax.vmap(
+                    lambda h: se3.se3_apply_homogeneous(
+                        T_WC0, h.astype(T_WS.dtype)
+                    )
+                )(hp_C0)
+                return m.idx_b, ok, hp_W
+
+            self._jit[key] = run
+        return self._jit[key]
+
     def stereo_initialize(self, fid: int, frame_data: List[FrameData]):
         """Stage 6 (≙ Frontend::matchStereo): match unassigned keypoints
         between camera pairs, triangulate, create landmarks."""
         if self.num_cams < 2:
             return 0
-        cfg = self.cfg
         est = self.est
         f = est.get_state(fid)
         fd0, fd1 = frame_data[0], frame_data[1]
-        un0 = np.nonzero((fd0.lid < 0) & fd0.valid)[0]
-        un1 = np.nonzero((fd1.lid < 0) & fd1.valid)[0]
-        if len(un0) == 0 or len(un1) == 0:
+        un0 = (fd0.lid < 0) & fd0.valid
+        un1 = (fd1.lid < 0) & fd1.valid
+        if not un0.any() or not un1.any():
             return 0
 
-        # rays in each camera frame
-        cam0, cam1 = self.cameras[0], self.cameras[1]
-        r0, v0 = pinhole.back_project(cam0, jnp.asarray(fd0.uv[un0]))
-        r1, v1 = pinhole.back_project(cam1, jnp.asarray(fd1.uv[un1]))
-        T_C1C0 = se3.se3_multiply(
-            se3.se3_inverse(jnp.asarray(self.T_SC[1])), jnp.asarray(self.T_SC[0])
+        run = self._stereo_fn()
+        idx_b, ok, hp_W = run(
+            jnp.asarray(f.T_WS), jnp.asarray(fd0.uv), fd0.pm1,
+            jnp.asarray(un0), jnp.asarray(fd1.uv), fd1.pm1,
+            jnp.asarray(un1),
         )
-        # epipolar gating via essential matrix in cam1 frame
-        R = np.asarray(se3.quat_to_matrix(se3.se3_q(T_C1C0)))
-        t = np.asarray(se3.se3_t(T_C1C0))
-        E = np.asarray(se3.cross_matrix(jnp.asarray(t))) @ R
-        x0 = np.asarray(r0)
-        x1 = np.asarray(r1)
-        lines = x0 @ E.T  # (n0, 3): epipolar line of each cam0 ray in cam1
-        # normalised point-line distance for each pair
-        num = np.abs(x1 @ lines.T)  # (n1, n0) | x1 . l |
-        denom = np.linalg.norm(lines[:, :2], axis=1)[None, :] + 1e-12
-        # convert angular distance to pixels approximately with fy
-        fpx = float(np.asarray(cam1.fxfycxcy)[1])
-        epi_px = num / denom * fpx
-        allowed = (
-            (epi_px < cfg.epipolar_px * 3)
-            & np.asarray(v1)[:, None]
-            & np.asarray(v0)[None, :]
-        )
-        if not allowed.any():
-            return 0
-        m = matcher.match_masked(
-            fd1.pm1[un1],
-            fd0.pm1[un0],
-            jnp.asarray(allowed),
-            max_dist=cfg.stereo_max_dist,
-        )
-        mv = np.asarray(m.valid)
-        mi = np.asarray(m.idx_b)
+        mi = np.asarray(idx_b)
+        okn = np.asarray(ok)
+        hpw = np.asarray(hp_W)
 
-        # triangulate all accepted pairs at once (batched midpoint)
         created = 0
-        T_WC0 = jnp.asarray(
-            np.asarray(
-                se3.se3_multiply(jnp.asarray(f.T_WS), jnp.asarray(self.T_SC[0]))
-            )
-        )
-        p_B = np.asarray(se3.se3_t(se3.se3_inverse(T_C1C0)))  # cam1 centre in cam0
-        R_C0C1 = np.asarray(se3.quat_to_matrix(se3.se3_q(se3.se3_inverse(T_C1C0))))
-        keep = np.nonzero(mv)[0]
-        if len(keep) == 0:
-            return 0
-        k0rows = mi[keep]
-        e_A = x0[k0rows] / np.linalg.norm(x0[k0rows], axis=-1, keepdims=True)
-        eb = x1[keep] @ R_C0C1.T
-        e_B = eb / np.linalg.norm(eb, axis=-1, keepdims=True)
-        n = len(keep)
-        tri = triangulation.triangulate(
-            jnp.zeros((n, 3)), jnp.asarray(e_A),
-            jnp.broadcast_to(jnp.asarray(p_B), (n, 3)), jnp.asarray(e_B),
-        )
-        hp_C0 = np.asarray(tri.hp_A)
-        ok = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
-        depth = hp_C0[:, 2] / np.maximum(hp_C0[:, 3], 1e-12)
-        ok &= (depth > cfg.min_triangulation_depth) & (
-            depth < cfg.max_triangulation_depth
-        )
-        hp_W = np.asarray(
-            se3.se3_apply_homogeneous(T_WC0, jnp.asarray(hp_C0))
-        )
         used0 = set()
-        for j in np.nonzero(ok)[0]:
-            k0row = int(k0rows[j])
-            if k0row in used0:
+        for i1 in np.nonzero(okn)[0]:
+            i0 = int(mi[i1])
+            if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
                 continue
-            used0.add(k0row)
-            i0 = un0[k0row]
-            i1 = un1[keep[j]]
-            lid = est.add_landmark(hp_W[j])
+            used0.add(i0)
+            lid = est.add_landmark(hpw[i1])
             if lid < 0:
                 continue
             self.lm_desc[lid] = fd0.packed[i0]
@@ -403,6 +420,58 @@ class VioPipeline:
             est.add_observation(fid, 1, lid, fd1.uv[i1])
             created += 1
         return created
+
+    def _motion_fn(self, cam_idx: int):
+        """ONE fused jitted program for motion stereo vs the last keyframe:
+        back-project both sets, mutual Hamming match restricted to the
+        unassigned masks, triangulate in the keyframe camera frame,
+        transform to world.  Fixed keypoint-capacity shapes — compiles once."""
+        key = ("motion", cam_idx)
+        if key not in self._jit:
+            cfg = self.cfg
+            cam = self.cameras[cam_idx]
+
+            @jax.jit
+            def run(T_CkC, T_WCk, uv_c, pm1_c, un_c, uv_k, pm1_k, un_k):
+                f32 = jnp.float32
+                r_c, v_c = pinhole.back_project(cam, uv_c.astype(f32))
+                r_k, v_k = pinhole.back_project(cam, uv_k.astype(f32))
+                allowed = (un_c & v_c)[:, None] & (un_k & v_k)[None, :]
+                D = matcher.hamming_matrix(pm1_c, pm1_k)
+                D = jnp.where(allowed, D, jnp.float32(matcher.DESC_BITS))
+                idx = jnp.argmin(D, axis=1)
+                d1 = jnp.take_along_axis(D, idx[:, None], axis=1)[:, 0]
+                mv = d1 <= cfg.stereo_max_dist
+                back = jnp.argmin(D, axis=0)  # mutual consistency
+                mv = mv & (back[idx] == jnp.arange(D.shape[0]))
+
+                R_k = se3.quat_to_matrix(se3.se3_q(T_CkC)).astype(f32)
+                p_B = se3.se3_t(T_CkC).astype(f32)
+                xk = r_k[idx]
+                e_A = xk / jnp.linalg.norm(xk, axis=-1, keepdims=True)
+                eb = r_c @ R_k.T
+                e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
+                n = e_A.shape[0]
+                tri = triangulation.triangulate(
+                    jnp.zeros((n, 3), f32), e_A,
+                    jnp.broadcast_to(p_B, (n, 3)), e_B,
+                )
+                hp_Ck = tri.hp_A
+                depth = hp_Ck[:, 2] / jnp.maximum(hp_Ck[:, 3], 1e-12)
+                ok = (
+                    mv & tri.valid & ~tri.parallel
+                    & (depth > cfg.min_triangulation_depth)
+                    & (depth < cfg.max_triangulation_depth)
+                )
+                hp_W = jax.vmap(
+                    lambda h: se3.se3_apply_homogeneous(
+                        T_WCk, h.astype(T_WCk.dtype)
+                    )
+                )(hp_Ck)
+                return idx, ok, hp_W
+
+            self._jit[key] = run
+        return self._jit[key]
 
     def motion_stereo(self, fid: int, frame_data: List[FrameData]):
         """Stage 6b (≙ Frontend::matchMotionStereo): match remaining
@@ -421,53 +490,32 @@ class VioPipeline:
         for c in range(min(self.num_cams, 1)):  # cam0 only (cheap)
             fd = frame_data[c]
             kfd = self.frames[self.last_kf_fid][c]
-            un_c = np.nonzero((fd.lid < 0) & fd.valid)[0]
-            un_k = np.nonzero((kfd.lid < 0) & kfd.valid)[0]
-            if len(un_c) < 8 or len(un_k) < 8:
+            un_c = (fd.lid < 0) & fd.valid
+            un_k = (kfd.lid < 0) & kfd.valid
+            if un_c.sum() < 8 or un_k.sum() < 8:
                 continue
-            m = matcher.match(
-                fd.pm1[un_c], kfd.pm1[un_k],
-                max_dist=cfg.stereo_max_dist, mutual=True,
-            )
-            mv = np.asarray(m.valid)
-            mi = np.asarray(m.idx_b)
-            cam = self.cameras[c]
-            T_WC = se3.se3_multiply(jnp.asarray(f.T_WS), jnp.asarray(self.T_SC[c]))
-            T_WCk = se3.se3_multiply(jnp.asarray(fk.T_WS), jnp.asarray(self.T_SC[c]))
-            T_CkC = se3.se3_multiply(se3.se3_inverse(T_WCk), T_WC)
-            R_k = np.asarray(se3.quat_to_matrix(se3.se3_q(T_CkC)))
-            p_B = np.asarray(se3.se3_t(T_CkC))
-            if np.linalg.norm(p_B) < 0.02:  # no baseline yet
+            # relative pose on host (numpy): skip when there is no baseline
+            T_WC = se3np.se3_multiply(f.T_WS, self.T_SC[c])
+            T_WCk = se3np.se3_multiply(fk.T_WS, self.T_SC[c])
+            T_CkC = se3np.se3_multiply(se3np.se3_inverse(T_WCk), T_WC)
+            if np.linalg.norm(T_CkC[:3]) < 0.02:  # no baseline yet
                 continue
-            r_c = np.asarray(pinhole.back_project(cam, jnp.asarray(fd.uv[un_c]))[0])
-            v_c = np.asarray(pinhole.back_project(cam, jnp.asarray(fd.uv[un_c]))[1])
-            r_k, v_k = pinhole.back_project(cam, jnp.asarray(kfd.uv[un_k]))
-            r_k, v_k = np.asarray(r_k), np.asarray(v_k)
-            keep = np.nonzero(mv & v_c & v_k[mi])[0]
-            if len(keep) == 0:
-                continue
-            jks = mi[keep]
-            e_A = r_k[jks] / np.linalg.norm(r_k[jks], axis=-1, keepdims=True)
-            eb = r_c[keep] @ R_k.T
-            e_B = eb / np.linalg.norm(eb, axis=-1, keepdims=True)
-            n = len(keep)
-            tri = triangulation.triangulate(
-                jnp.zeros((n, 3)), jnp.asarray(e_A),
-                jnp.broadcast_to(jnp.asarray(p_B), (n, 3)), jnp.asarray(e_B),
+            run = self._motion_fn(c)
+            idx_b, ok, hp_W = run(
+                jnp.asarray(T_CkC), jnp.asarray(T_WCk),
+                jnp.asarray(fd.uv), fd.pm1, jnp.asarray(un_c),
+                jnp.asarray(kfd.uv), kfd.pm1, jnp.asarray(un_k),
             )
-            hp_Ck = np.asarray(tri.hp_A)
-            ok = np.asarray(tri.valid) & ~np.asarray(tri.parallel)
-            depth = hp_Ck[:, 2] / np.maximum(hp_Ck[:, 3], 1e-12)
-            ok &= (depth > cfg.min_triangulation_depth) & (
-                depth < cfg.max_triangulation_depth
-            )
-            hp_W = np.asarray(
-                se3.se3_apply_homogeneous(T_WCk, jnp.asarray(hp_Ck))
-            )
-            for j in np.nonzero(ok)[0]:
-                i_c = un_c[keep[j]]
-                i_k = un_k[jks[j]]
-                lid = est.add_landmark(hp_W[j])
+            mi = np.asarray(idx_b)
+            okn = np.asarray(ok)
+            hp_W = np.asarray(hp_W)
+            used_k = set()
+            for i_c in np.nonzero(okn)[0]:
+                i_k = int(mi[i_c])
+                if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
+                    continue
+                used_k.add(i_k)
+                lid = est.add_landmark(hp_W[i_c])
                 if lid < 0:
                     continue
                 self.lm_desc[lid] = kfd.packed[i_k]

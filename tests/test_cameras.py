@@ -91,3 +91,46 @@ def test_batch_project_vmap_jit():
     uv, valid = jax.jit(pinhole.project)(cam, pts)
     assert uv.shape == (256, 2)
     assert bool(valid.sum() > 200)
+
+
+def test_numpy_camera_twin_matches_jax():
+    """cameras/pinhole_np.py must agree with cameras/pinhole.py for every
+    distortion model (host-path projection gating uses the numpy twin)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from okvis2x_tpu.cameras import pinhole, pinhole_np
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 1, (64, 3)) * [0.3, 0.3, 1.0] + [0, 0, 3.0]
+    cams = [
+        pinhole.make_pinhole(400, 400, 320, 240, 640, 480, model="radtan",
+                             dist_params=[-0.28, 0.07, 1e-4, -2e-5]),
+        pinhole.make_pinhole(400, 400, 320, 240, 640, 480, model="radtan8",
+                             dist_params=[-0.28, 0.07, 1e-4, -2e-5, 0.01,
+                                          -0.1, 0.03, 0.002]),
+        pinhole.make_pinhole(380, 380, 320, 240, 640, 480, model="equidistant",
+                             dist_params=[-0.01, 0.02, -0.01, 0.002]),
+        pinhole.make_pinhole(400, 400, 320, 240, 640, 480, model="none"),
+        pinhole.make_pinhole(450, 450, 320, 240, 640, 480, model="eucm",
+                             dist_params=[0.6, 1.1]),
+    ]
+    for cam in cams:
+        ncam = pinhole_np.to_numpy(cam)
+        uv_j, v_j = pinhole.project(cam, jnp.asarray(pts))
+        uv_n, v_n = pinhole_np.project(ncam, pts)
+        np.testing.assert_allclose(uv_n, np.asarray(uv_j), atol=1e-9,
+                                   err_msg=cam.model)
+        np.testing.assert_array_equal(v_n, np.asarray(v_j))
+        uv_in = uv_n[v_n]
+        r_j, bv_j = pinhole.back_project(cam, jnp.asarray(uv_in))
+        r_n, bv_n = pinhole_np.back_project(ncam, uv_in)
+        np.testing.assert_allclose(r_n, np.asarray(r_j), atol=1e-6,
+                                   err_msg=cam.model)
+        np.testing.assert_array_equal(bv_n, np.asarray(bv_j))
+        # homogeneous round trip incl. negative w
+        hp = np.concatenate([pts, np.ones((64, 1))], axis=1)
+        hp[::3] *= -1
+        uvh_j, vh_j = pinhole.project_homogeneous(cam, jnp.asarray(hp))
+        uvh_n, vh_n = pinhole_np.project_homogeneous(ncam, hp)
+        np.testing.assert_allclose(uvh_n, np.asarray(uvh_j), atol=1e-9)
+        np.testing.assert_array_equal(vh_n, np.asarray(vh_j))

@@ -146,3 +146,43 @@ def test_jit_and_vmap_compose():
     T = rand_T(KEY, (8,))
     out = f(T, jax.vmap(se3.se3_inverse)(T))
     np.testing.assert_allclose(out[:, :3], 0.0, atol=1e-12)
+
+
+def test_numpy_twins_match_jax():
+    """core/se3np.py must agree with core/se3.py on random inputs — the
+    host path uses the numpy twins to avoid eager device dispatches."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from okvis2x_tpu.core import se3, se3np
+
+    key = jax.random.PRNGKey(7)
+    Ta = np.asarray(se3.random_se3(key, (16,), jnp.float64))
+    Tb = np.asarray(se3.random_se3(jax.random.PRNGKey(8), (16,), jnp.float64))
+    d = np.asarray(
+        0.3 * jax.random.normal(jax.random.PRNGKey(9), (16, 6), jnp.float64)
+    )
+    pts = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(10), (16, 3), jnp.float64)
+    )
+
+    pairs = [
+        (se3np.se3_multiply(Ta, Tb), se3.se3_multiply(jnp.asarray(Ta), jnp.asarray(Tb))),
+        (se3np.se3_inverse(Ta), se3.se3_inverse(jnp.asarray(Ta))),
+        (se3np.retract(Ta, d), se3.retract(jnp.asarray(Ta), jnp.asarray(d))),
+        (se3np.local_delta(Ta, Tb), se3.local_delta(jnp.asarray(Ta), jnp.asarray(Tb))),
+        (se3np.se3_apply(Ta, pts), se3.se3_apply(jnp.asarray(Ta), jnp.asarray(pts))),
+        (se3np.quat_to_matrix(Ta[:, 3:]), se3.quat_to_matrix(jnp.asarray(Ta[:, 3:]))),
+        (se3np.delta_q(d[:, 3:]), se3.delta_q(jnp.asarray(d[:, 3:]))),
+        (se3np.quat_log(Ta[:, 3:]), se3.quat_log(jnp.asarray(Ta[:, 3:]))),
+        (se3np.se3_interpolate(Ta, Tb, 0.37),
+         jax.vmap(lambda a, b: se3.se3_interpolate(a, b, 0.37))(
+             jnp.asarray(Ta), jnp.asarray(Tb))),
+        (se3np.cross_matrix(pts), se3.cross_matrix(jnp.asarray(pts))),
+        (se3np.se3_apply_homogeneous(Ta, np.concatenate([pts, np.ones((16, 1))], 1)),
+         se3.se3_apply_homogeneous(jnp.asarray(Ta),
+                                   jnp.concatenate([jnp.asarray(pts), jnp.ones((16, 1))], 1))),
+    ]
+    for got, want in pairs:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12)
