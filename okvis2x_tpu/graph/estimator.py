@@ -266,6 +266,68 @@ class SlidingWindowEstimator:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _preintegrate_batch_fn(self):
+        """ONE vmapped jitted program preintegrating every IMU link of the
+        window (+ whitening): replaces M per-link program dispatches per
+        build — on a remote TPU backend each dispatch costs ~1.5-24 ms."""
+        key = "preint_batch"
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            out_dtype = jax.dtypes.canonicalize_dtype(cfg.dtype)
+
+            @jax.jit
+            def run(t, gyr, acc, mask, t0, t1, bg, ba, valid):
+                def one(t_, g_, a_, m_, t0_, t1_, bg_, ba_):
+                    batch = pre.ImuBatch(t=t_, gyr=g_, acc=a_, mask=m_)
+                    return pre.preintegrate(cfg.imu, batch, t0_, t1_, bg_, ba_)
+
+                P = jax.vmap(one)(t, gyr, acc, mask, t0, t1, bg, ba)
+                eye15 = jnp.eye(15, dtype=P.P.dtype)
+                P_cov = jnp.where(valid[:, None, None], P.P, eye15[None])
+                W = jax.vmap(imu_factor.sqrt_information)(P_cov)
+                W = jnp.where(valid[:, None, None], W, eye15[None])
+                P = jax.tree.map(
+                    lambda x: x.astype(out_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    P,
+                )
+                return P, W.astype(out_dtype)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _preintegrate_batch(self, spans, n_rows: int):
+        """spans: list of (t0, t1, bg, ba); returns (Preintegrated batched
+        to n_rows, W (n_rows,15,15)) as device arrays, invalid rows padded
+        with identity."""
+        cfg = self.cfg
+        S = cfg.cap_imu_samples
+        m = len(spans)
+        assert m <= n_rows
+        tB = np.zeros((n_rows, S))
+        gyrB = np.zeros((n_rows, S, 3))
+        accB = np.zeros((n_rows, S, 3))
+        maskB = np.zeros((n_rows, S), bool)
+        t0B = np.zeros(n_rows)
+        t1B = np.ones(n_rows) * 1e-3
+        bgB = np.zeros((n_rows, 3))
+        baB = np.zeros((n_rows, 3))
+        valid = np.zeros(n_rows, bool)
+        for r, (t0, t1, bg, ba) in enumerate(spans):
+            i0, i1 = self._imu_span(t0, t1)
+            n = i1 - i0
+            assert n <= S, f"IMU span {n} exceeds capacity {S}"
+            tB[r] = t1 + 1.0
+            tB[r, :n] = self.imu_t[i0:i1]
+            gyrB[r, :n] = self.imu_gyr[i0:i1]
+            accB[r, :n] = self.imu_acc[i0:i1]
+            maskB[r, :n] = True
+            t0B[r], t1B[r] = t0, t1
+            bgB[r], baB[r] = bg, ba
+            valid[r] = True
+        run = self._preintegrate_batch_fn()
+        return run(tB, gyrB, accB, maskB, t0B, t1B, bgB, baB, valid)
+
     def _preintegrate_span(self, t0, t1, bg, ba) -> pre.Preintegrated:
         cfg = self.cfg
         i0, i1 = self._imu_span(t0, t1)
@@ -454,36 +516,19 @@ class SlidingWindowEstimator:
         chain = [
             i for i, f in enumerate(self.frames) if not f.pose_graph_frame
         ]
-        pres = []
-        sqinfos = []
+        spans = []
         imu_i = np.zeros(Mcap, np.int32)
         imu_j = np.zeros(Mcap, np.int32)
         imu_valid = np.zeros(Mcap, bool)
-        m = 0
-        for ia, ib in zip(chain[:-1], chain[1:]):
+        for m, (ia, ib) in enumerate(zip(chain[:-1], chain[1:])):
             a, b = self.frames[ia], self.frames[ib]
             assert m < Mcap
-            P = self._preintegrate_span(a.timestamp, b.timestamp, a.sb[3:6], a.sb[6:9])
-            W = imu_factor.sqrt_information(P.P)
-            pres.append(P)
-            sqinfos.append(np.asarray(W))
+            spans.append((a.timestamp, b.timestamp, a.sb[3:6], a.sb[6:9]))
             imu_i[m] = ia
             imu_j[m] = ib
             imu_valid[m] = True
-            m += 1
-        n_links = m
-
-        pre_batched = p.imu_pre
-        if pres:
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
-            pre_batched = jax.tree.map(
-                lambda full, part: full.at[:n_links].set(part.astype(full.dtype)),
-                p.imu_pre,
-                stacked,
-            )
-        imu_sqrt_info = np.tile(np.eye(15), (Mcap, 1, 1))
-        if sqinfos:
-            imu_sqrt_info[:n_links] = np.stack(sqinfos)
+        # ONE device program for all links (preintegration + whitening)
+        pre_batched, imu_sqrt_info = self._preintegrate_batch(spans, Mcap)
 
         # landmarks
         hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
@@ -552,34 +597,39 @@ class SlidingWindowEstimator:
                 if host is None:
                     continue
                 hf = self.frames[host]
-                P = self._preintegrate_span(
-                    hf.timestamp, max(t_g, hf.timestamp), hf.sb[3:6], hf.sb[6:9]
-                )
                 gps_frame[g] = host
                 gps_p_G[g] = pos_G
                 gps_si[g] = np.diag(1.0 / np.maximum(err, 1e-3))
                 gps_valid[g] = True
-                gps_pres.append(P)
+                gps_pres.append(
+                    (hf.timestamp, max(t_g, hf.timestamp), hf.sb[3:6],
+                     hf.sb[6:9])
+                )
                 g += 1
         gps_pre = p.gps_pre
         if gps_pres:
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *gps_pres)
-            ng = len(gps_pres)
-            gps_pre = jax.tree.map(
-                lambda full, part: full.at[:ng].set(part.astype(full.dtype)),
-                p.gps_pre, stacked,
+            gps_pre, _ = self._preintegrate_batch(
+                gps_pres, p.gps_frame.shape[0]
             )
 
-        cvt = lambda x: jnp.asarray(x, dtype=dtype)
+        # numpy leaves throughout: the jitted solver call transfers them in
+        # one batch at dispatch — eager jnp.asarray here would pay ~40
+        # individual device round-trips per build on remote TPU backends
+        npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+        cvt = lambda x: np.asarray(x, npdt)
+        T_full = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
+        T_full[:nf] = T_WS
+        sb_full = np.zeros((K, 9))
+        sb_full[:nf] = sb
         p = p._replace(
             T_GW=cvt(self.T_GW),
-            tgw_fixed=jnp.asarray(self.gps_status != "Initialised"),
-            gps_frame=jnp.asarray(gps_frame),
+            tgw_fixed=np.asarray(self.gps_status != "Initialised"),
+            gps_frame=np.asarray(gps_frame),
             gps_pre=gps_pre,
             gps_p_G=cvt(gps_p_G),
             gps_r_SA=cvt(self.gps_r_SA),
             gps_sqrt_info=cvt(gps_si),
-            gps_valid=jnp.asarray(gps_valid),
+            gps_valid=np.asarray(gps_valid),
         )
         if cfg.do_extrinsics:
             si_ext = np.diag(
@@ -591,45 +641,45 @@ class SlidingWindowEstimator:
                 )
             )
             p = p._replace(
-                ext_fixed=jnp.zeros((self.C,), bool),
+                ext_fixed=np.zeros((self.C,), bool),
                 ext_prior_T=cvt(self.T_SC_prior),
                 ext_prior_sqrt_info=cvt(np.tile(si_ext, (self.C, 1, 1))),
-                ext_prior_valid=jnp.ones((self.C,), bool),
+                ext_prior_valid=np.ones((self.C,), bool),
             )
         p = p._replace(
-            T_WS=p.T_WS.at[:nf].set(cvt(T_WS)),
-            sb=p.sb.at[:nf].set(cvt(sb)),
-            frame_valid=jnp.asarray(frame_valid),
-            pose_fixed=jnp.asarray(pose_fixed),
-            sb_fixed=jnp.asarray(sb_fixed),
+            T_WS=cvt(T_full),
+            sb=cvt(sb_full),
+            frame_valid=frame_valid,
+            pose_fixed=pose_fixed,
+            sb_fixed=sb_fixed,
             T_SC=cvt(self.T_SC),
             hp_W=cvt(hp),
-            lm_valid=jnp.asarray(lm_valid),
-            obs_frame=jnp.asarray(obs_frame),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_lm=jnp.asarray(obs_lm),
+            lm_valid=lm_valid,
+            obs_frame=obs_frame,
+            obs_cam=obs_cam,
+            obs_lm=obs_lm,
             obs_uv=cvt(obs_uv),
             obs_sqrt_info=cvt(obs_si),
-            obs_valid=jnp.asarray(obs_valid),
+            obs_valid=obs_valid,
             obs_depth=cvt(obs_depth),
             obs_depth_si=cvt(obs_depth_si),
-            obs_depth_valid=jnp.asarray(obs_depth_valid),
-            imu_i=jnp.asarray(imu_i),
-            imu_j=jnp.asarray(imu_j),
+            obs_depth_valid=obs_depth_valid,
+            imu_i=imu_i,
+            imu_j=imu_j,
             imu_pre=pre_batched,
-            imu_sqrt_info=cvt(imu_sqrt_info),
-            imu_valid=jnp.asarray(imu_valid),
+            imu_sqrt_info=imu_sqrt_info,
+            imu_valid=imu_valid,
             pose_prior_T=cvt(pose_prior_T),
             pose_prior_sqrt_info=cvt(pose_prior_si),
-            pose_prior_valid=jnp.asarray(pose_prior_valid),
+            pose_prior_valid=pose_prior_valid,
             sb_prior=cvt(sb_prior),
             sb_prior_sqrt_info=cvt(sb_prior_si),
-            sb_prior_valid=jnp.asarray(sb_prior_valid),
-            rel_i=jnp.asarray(rel_i),
-            rel_j=jnp.asarray(rel_j),
+            sb_prior_valid=sb_prior_valid,
+            rel_i=rel_i,
+            rel_j=rel_j,
             rel_T=cvt(rel_T),
             rel_sqrt_info=cvt(rel_si),
-            rel_valid=jnp.asarray(rel_valid),
+            rel_valid=rel_valid,
         )
         return p, fid2slot
 
@@ -826,12 +876,13 @@ class SlidingWindowEstimator:
         obs_mask[:n] = True
 
         run = self._two_pose_edge_fn(ncap, lcap)
-        cvt = lambda x: jnp.asarray(x, dtype)
+        npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+        cvt = lambda x: np.asarray(x, npdt)
         T_ab, sqrt_info, strength = run(
             cvt(victim.T_WS), cvt(target.T_WS), cvt(self.T_SC),
-            cvt(hp), jnp.asarray(lm_mask),
-            jnp.asarray(obs_pose), jnp.asarray(obs_cam), jnp.asarray(obs_lm),
-            cvt(obs_uv), cvt(obs_si), jnp.asarray(obs_mask),
+            cvt(hp), lm_mask,
+            obs_pose, obs_cam, obs_lm,
+            cvt(obs_uv), cvt(obs_si), obs_mask,
         )
         if not np.isfinite(float(strength)) or float(strength) < 1e-3:
             return None

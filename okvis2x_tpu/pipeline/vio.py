@@ -143,6 +143,8 @@ class VioPipeline:
 
             @jax.jit
             def run(img, angle):
+                # `angle` must arrive as a jnp scalar: a python float would
+                # bake in as a compile-time constant and retrace every frame
                 kp = detector.detect(
                     img,
                     max_keypoints=cfg.max_keypoints,
@@ -151,7 +153,7 @@ class VioPipeline:
                     per_cell=cfg.detection_per_cell,
                     threshold=cfg.harris_threshold,
                 )
-                ang = jnp.full((cfg.max_keypoints,), angle, jnp.float32)
+                ang = jnp.full((cfg.max_keypoints,), jnp.float32(angle))
                 packed, pm1 = descriptor.extract(
                     img, kp.uv, ang, kp.level, kp.valid
                 )
@@ -171,7 +173,7 @@ class VioPipeline:
             g_C = C_CW @ np.array([0.0, 0.0, -1.0])
             ang = float(np.arctan2(g_C[1], g_C[0])) if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
             run = self._detect_fn(img.shape)
-            kp, packed, pm1 = run(jnp.asarray(img), ang)
+            kp, packed, pm1 = run(jnp.asarray(img), jnp.float32(ang))
             out.append(
                 FrameData(
                     uv=np.asarray(kp.uv),
@@ -205,7 +207,10 @@ class VioPipeline:
             T_SC_c = jnp.asarray(self.T_SC[cam_idx])
 
             @jax.jit
-            def run(T_WS, hp, lm_valid, lm_pm1, kp_uv, kp_pm1, kp_valid):
+            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_pm1, kp_valid):
+                # descriptor unpack fused in (keeps the host loop free of
+                # eager device ops)
+                lm_pm1 = descriptor.unpack_pm1(lm_packs, lm_valid)
                 T_CW = se3.se3_multiply(
                     se3.se3_inverse(T_SC_c.astype(T_WS.dtype)),
                     se3.se3_inverse(T_WS),
@@ -243,17 +248,12 @@ class VioPipeline:
         packs[:nl] = np.stack([self.lm_desc[l] for l in lids])
         lm_valid = np.zeros(Lcap, bool)
         lm_valid[:nl] = True
-        lm_pm1 = descriptor.unpack_pm1(jnp.asarray(packs), jnp.asarray(lm_valid))
-        hp_j = jnp.asarray(hp)
-        lm_valid_j = jnp.asarray(lm_valid)
-
         T_WS = est.get_state(fid).T_WS
         n_matched = 0
         for c, fd in enumerate(frame_data):
             run = self._match_map_fn(c)
             idx_b, dist, mvalid = run(
-                jnp.asarray(T_WS), hp_j, lm_valid_j, lm_pm1,
-                jnp.asarray(fd.uv), fd.pm1, jnp.asarray(fd.valid),
+                T_WS, hp, lm_valid, packs, fd.uv, fd.pm1, fd.valid,
             )
             mv = np.asarray(mvalid)
             mi = np.asarray(idx_b)
@@ -966,6 +966,13 @@ class VioPipeline:
             n_stereo += self.depth_initialize(fid, frame_data, depth_images)
 
         est.optimise()
+        # post-solve chi2 pass: freshly triangulated landmarks can enter as
+        # outliers (≙ Frontend::removeOutliers between the inline
+        # optimisation stages, Frontend.cpp:2398); without this a burst of
+        # bad stereo initialisations late in a sequence leaves too few LM
+        # iterations to recover
+        if self.reject_outliers(fid) > 0:
+            est.optimise(iterations=2)
         if est.cfg.do_extrinsics:
             # keep the pipeline's projection extrinsics in sync with the
             # online-calibrated estimate

@@ -26,6 +26,17 @@ def setup(cache_dir: str | None = None):
             # double-precision Ceres); TPU runs stay f32
             jax.config.update("jax_enable_x64", True)
 
+    # TPU MXU matmuls default to bf16 inputs with f32 accumulation; the
+    # estimator's normal equations (H = J^T J, Schur complement) need true
+    # f32 multiplies or GN steps degrade from O(1e-6) to O(1e-2) relative
+    # error and the window solver drifts (measured: synthetic EuRoC ATE
+    # 4.8 m vs 0.08 m).  Descriptor Hamming matmuls opt back into bf16
+    # explicitly (frontend/matcher.py) — that path is exact in bf16.
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass
+
     cache = cache_dir or os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
