@@ -37,7 +37,11 @@ def setup(cache_dir: str | None = None):
     except Exception:
         pass
 
-    cache = cache_dir or os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    # default to a repo-local cache so warm compiles survive /tmp wipes
+    # (the unrolled 10-iteration LM program takes ~10 min to compile cold
+    # on a 2-vCPU host; a cache hit loads in seconds)
+    repo_cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    cache = cache_dir or os.environ.get("JAX_CACHE_DIR") or os.path.abspath(repo_cache)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
