@@ -85,10 +85,23 @@ def record_mode(args):
     return None
 
 
+def _submapping_config(args):
+    from okvis2x_tpu.pipeline.submapping import SubmappingConfig
+
+    if args.se2_config:
+        from okvis2x_tpu.io.config import load_submap_config
+
+        return SubmappingConfig.from_se2(load_submap_config(args.se2_config))
+    return SubmappingConfig()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=False, help="dataset dir")
     ap.add_argument("--config", default=None, help="okvis2.yaml config")
+    ap.add_argument("--se2-config", default=None,
+                    help="se2.yaml submap config (grid resolution honoured: "
+                    "fine resolutions use the brick-sparse grid)")
     ap.add_argument(
         "--mode", default="slam",
         choices=["vio", "slam", "depth", "rgbd", "lidar"],
@@ -192,12 +205,11 @@ def main():
             SubmappingConfig, SubmappingInterface,
         )
 
-        submapper = SubmappingInterface(SubmappingConfig())
+        submapper = SubmappingInterface(_submapping_config(args))
     elif args.mode == "lidar":
         from okvis2x_tpu.pipeline.lidar_vio import LidarVioPipeline
-        from okvis2x_tpu.pipeline.submapping import SubmappingConfig
 
-        pipe = LidarVioPipeline(vio, SubmappingConfig())
+        pipe = LidarVioPipeline(vio, _submapping_config(args))
         submapper = pipe.submapper
 
     n = 0

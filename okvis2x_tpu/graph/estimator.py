@@ -57,6 +57,10 @@ class EstimatorConfig:
     cap_imu_samples: int = 512
     cap_rel_edges: int = 16
     cap_gps: int = 8
+    # per-point submap ICP rows in the window solve (≙ live SubmapIcpError
+    # factors, ViGraph.cpp:1470; 0 disables — se2.yaml n_factors_per_state
+    # is the reference budget, config/euroc/se2.yaml:24)
+    cap_icp: int = 0
     keypoint_sigma_px: float = 0.8
     max_iterations: int = 10
     imu: pre.ImuParams = pre.ImuParams()
@@ -85,11 +89,15 @@ class FrameState:
     sb: np.ndarray  # (9,)
     is_keyframe: bool = False
     pose_fixed: bool = False
+    sb_fixed: bool = False
     # marginalised keyframe kept as a frozen pose-graph anchor: its
     # observations were converted to a two-pose edge, it carries no
     # speed/bias estimate and no IMU links (≙ freezePosesUntil +
     # convertToPoseGraphMst semantics)
     pose_graph_frame: bool = False
+    # pose-graph frame whose observations were re-expanded into the window
+    # (≙ expandKeyframe) — pose optimises again, still no IMU chain
+    expanded: bool = False
 
 
 class SlidingWindowEstimator:
@@ -126,6 +134,12 @@ class SlidingWindowEstimator:
         self.imu_t = np.zeros((0,))
         self.imu_gyr = np.zeros((0, 3))
         self.imu_acc = np.zeros((0, 3))
+        # trimmed samples archived for final-BA IMU re-propagation
+        # (≙ doFinalBa's ImuError::redoPropagationAlways=true,
+        # ViSlamBackend.cpp:2036 — needs the raw spans of archived frames)
+        self.arch_imu_t = np.zeros((0,))
+        self.arch_imu_gyr = np.zeros((0, 3))
+        self.arch_imu_acc = np.zeros((0, 3))
 
         # relative-pose (pose-graph / marginalisation) edges between frame ids
         self.rel_edges: List[dict] = []
@@ -157,6 +171,16 @@ class SlidingWindowEstimator:
         self.gps_min_span = 1.0  # [m] trajectory extent before alignment
         self.gps_timeout = 2.0  # [s] dropout -> re-initialise
 
+        # loop-closure frames protected from window-cap archival while the
+        # pipeline holds them (≙ numLoopClosureFrames window budget)
+        self.lc_protected: set = set()
+        # live per-point submap ICP factors: one refreshed set per sweep
+        # (anchor_fid, owner_fid, pts_S (n, 3), sigma) against `icp_map`
+        # whose grid config is `icp_grid_cfg` (static for the solver)
+        self.icp_live: Optional[tuple] = None
+        self.icp_map = None
+        self.icp_grid_cfg = None
+
         # priors (on first state)
         self.prior_fid: Optional[int] = None
         self.prior_T: Optional[np.ndarray] = None
@@ -185,9 +209,27 @@ class SlidingWindowEstimator:
         keep = self.imu_t >= t_min
         first = int(np.argmax(keep)) if keep.any() else len(self.imu_t)
         first = max(first - 1, 0)
+        if first > 0:
+            # archive instead of dropping: the final BA re-propagates IMU
+            # links over archived keyframe spans
+            self.arch_imu_t = np.append(self.arch_imu_t, self.imu_t[:first])
+            self.arch_imu_gyr = np.vstack(
+                [self.arch_imu_gyr, self.imu_gyr[:first]]
+            )
+            self.arch_imu_acc = np.vstack(
+                [self.arch_imu_acc, self.imu_acc[:first]]
+            )
         self.imu_t = self.imu_t[first:]
         self.imu_gyr = self.imu_gyr[first:]
         self.imu_acc = self.imu_acc[first:]
+
+    def _full_imu_arrays(self):
+        """(t, gyr, acc) over archive + live buffers (time-ordered)."""
+        return (
+            np.append(self.arch_imu_t, self.imu_t),
+            np.vstack([self.arch_imu_gyr, self.imu_gyr]),
+            np.vstack([self.arch_imu_acc, self.imu_acc]),
+        )
 
     # ---------------------------------------------------------------- states
     def add_state(self, timestamp: float) -> int:
@@ -296,12 +338,19 @@ class SlidingWindowEstimator:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _preintegrate_batch(self, spans, n_rows: int):
+    def _preintegrate_batch(self, spans, n_rows: int, S: int | None = None,
+                            imu_arrays=None):
         """spans: list of (t0, t1, bg, ba); returns (Preintegrated batched
         to n_rows, W (n_rows,15,15)) as device arrays, invalid rows padded
-        with identity."""
+        with identity.  `S` overrides the per-span sample capacity and
+        `imu_arrays` the measurement source (final BA passes the archived
+        + live buffers with a larger capacity)."""
         cfg = self.cfg
-        S = cfg.cap_imu_samples
+        S = S or cfg.cap_imu_samples
+        if imu_arrays is None:
+            t_arr, gyr_arr, acc_arr = self.imu_t, self.imu_gyr, self.imu_acc
+        else:
+            t_arr, gyr_arr, acc_arr = imu_arrays
         m = len(spans)
         assert m <= n_rows
         tB = np.zeros((n_rows, S))
@@ -314,13 +363,14 @@ class SlidingWindowEstimator:
         baB = np.zeros((n_rows, 3))
         valid = np.zeros(n_rows, bool)
         for r, (t0, t1, bg, ba) in enumerate(spans):
-            i0, i1 = self._imu_span(t0, t1)
+            i0 = max(int(np.searchsorted(t_arr, t0, "right")) - 1, 0)
+            i1 = min(int(np.searchsorted(t_arr, t1, "left")) + 1, len(t_arr))
             n = i1 - i0
             assert n <= S, f"IMU span {n} exceeds capacity {S}"
             tB[r] = t1 + 1.0
-            tB[r, :n] = self.imu_t[i0:i1]
-            gyrB[r, :n] = self.imu_gyr[i0:i1]
-            accB[r, :n] = self.imu_acc[i0:i1]
+            tB[r, :n] = t_arr[i0:i1]
+            gyrB[r, :n] = gyr_arr[i0:i1]
+            accB[r, :n] = acc_arr[i0:i1]
             maskB[r, :n] = True
             t0B[r], t1B[r] = t0, t1
             bgB[r], baB[r] = bg, ba
@@ -464,7 +514,8 @@ class SlidingWindowEstimator:
         fid2slot = {f.fid: i for i, f in enumerate(self.frames)}
 
         p = prb.empty_problem(K=K, L=L, C=C, N=Ncap, M=Mcap,
-                              R=cfg.cap_rel_edges, G=cfg.cap_gps, dtype=dtype)
+                              R=cfg.cap_rel_edges, G=cfg.cap_gps,
+                              Q=cfg.cap_icp, dtype=dtype)
 
         T_WS = np.stack([f.T_WS for f in self.frames]) if nf else np.zeros((0, 7))
         sb = np.stack([f.sb for f in self.frames]) if nf else np.zeros((0, 9))
@@ -472,11 +523,12 @@ class SlidingWindowEstimator:
         frame_valid[:nf] = True
         pose_fixed = np.zeros(K, bool)
         pose_fixed[:nf] = [
-            f.pose_fixed or f.pose_graph_frame for f in self.frames
+            f.pose_fixed or (f.pose_graph_frame and not f.expanded)
+            for f in self.frames
         ]
         # speed/bias only estimable for IMU-chained (non-pose-graph) frames
         sb_fixed = np.ones(K, bool)
-        sb_fixed[:nf] = [f.pose_graph_frame for f in self.frames]
+        sb_fixed[:nf] = [f.pose_graph_frame or f.sb_fixed for f in self.frames]
 
         # observations: keep only those whose frame & landmark are active
         live = np.array(
@@ -681,11 +733,42 @@ class SlidingWindowEstimator:
             rel_sqrt_info=cvt(rel_si),
             rel_valid=rel_valid,
         )
+        # live per-point submap ICP rows (≙ SubmapIcpError live factors)
+        if cfg.cap_icp and self.icp_map is not None and self.icp_live:
+            a_fid, b_fid, pts_S, sig = self.icp_live
+            if a_fid in fid2slot and b_fid in fid2slot:
+                Qc = cfg.cap_icp
+                n = min(len(pts_S), Qc)
+                icp_p = np.zeros((Qc, 3))
+                icp_p[:n] = pts_S[:n]
+                icp_valid = np.zeros(Qc, bool)
+                icp_valid[:n] = True
+                p = p._replace(
+                    icp_a=np.full(Qc, fid2slot[a_fid], np.int32),
+                    icp_b=np.full(Qc, fid2slot[b_fid], np.int32),
+                    icp_p_B=cvt(icp_p),
+                    icp_si=cvt(np.full(Qc, 1.0 / max(sig, 1e-3))),
+                    icp_valid=icp_valid,
+                    icp_map=self.icp_map,
+                )
         return p, fid2slot
 
+    def set_icp_map(self, sm, grid_cfg):
+        """Register the active submap as the live ICP target (called after
+        each integration; shapes are static so no recompiles)."""
+        self.icp_map = sm
+        self.icp_grid_cfg = grid_cfg
+
+    def set_live_icp_points(self, anchor_fid: int, owner_fid: int,
+                            pts_S: np.ndarray, sigma: float):
+        """Refresh the live frame-to-map per-point factor set (the previous
+        sweep's rows are dropped, matching the reference's per-frame live
+        factor refresh, ThreadedSlam.cpp:781-845)."""
+        self.icp_live = (anchor_fid, owner_fid, np.asarray(pts_S), sigma)
+
     def _optimize_fn(self, rcap: int, iters: int, pose_only: bool,
-                     use_depth: bool = False):
-        key = ("opt", rcap, iters, pose_only, use_depth)
+                     use_depth: bool = False, use_icp: bool = False):
+        key = ("opt", rcap, iters, pose_only, use_depth, use_icp)
         if key not in self._jit_cache:
             cfg = gn.SolverConfig(
                 max_iterations=iters,
@@ -693,6 +776,7 @@ class SlidingWindowEstimator:
                 estimate_landmarks=not pose_only,
                 use_depth=use_depth,
                 use_ext_priors=self.cfg.do_extrinsics,
+                icp_cfg=self.icp_grid_cfg if use_icp else None,
                 # straight-line LM on accelerators (dynamic loop steps pay a
                 # fixed sequencer sync); rolled loop on CPU test hosts where
                 # compile time dominates
@@ -710,8 +794,9 @@ class SlidingWindowEstimator:
             self._check_gps_dropout(self.frames[-1].timestamp)
         p, fid2slot = self._build_problem()
         use_depth = bool(np.asarray(p.obs_depth_valid).any())
+        use_icp = p.icp_map is not None
         run = self._optimize_fn(
-            int(p.rel_valid.shape[0]), iters, pose_only, use_depth
+            int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
         )
         p_opt, cost = run(p, self.cams)
         T = np.asarray(p_opt.T_WS)
@@ -806,10 +891,25 @@ class SlidingWindowEstimator:
         # 3. cap total frames: archive oldest pose-graph frames (they stay
         # in the long-term pose graph for loop closure / final BA)
         while len(self.frames) > cfg.cap_frames - 1:
-            pg = [f for f in self.frames if f.pose_graph_frame]
+            pg = [
+                f for f in self.frames
+                if f.pose_graph_frame and f.fid not in self.lc_protected
+            ]
             if not pg:
-                break
+                # only protected loop-closure frames left: release the
+                # oldest rather than overflow the fixed capacities
+                pg = [f for f in self.frames if f.pose_graph_frame]
+                if not pg:
+                    break
+                self.lc_protected.discard(pg[0].fid)
             victim = pg[0]
+            if victim.expanded:
+                # loop-closure/expanded frame: its live observations return
+                # to the archive rather than being dropped
+                gone = self.obs_fid == victim.fid
+                self._archive_obs(gone)
+                victim.expanded = False
+                victim.pose_fixed = True
             self.archive_frames[victim.fid] = victim
             self._drop_frame(victim.fid)
             keep = []
@@ -889,25 +989,60 @@ class SlidingWindowEstimator:
         return dict(
             i=victim.fid, j=target.fid,
             T_ij=np.asarray(T_ab), sqrt_info=np.asarray(sqrt_info),
+            # marginalisation summary: dropped when its observations are
+            # re-expanded (final BA / full-graph BA) to avoid double counting
+            marg=True,
         )
 
     def _marginalise_keyframe(self, victim: FrameState):
-        """Summarise the keyframe into a relative-pose edge against its most
-        covisible surviving keyframe (≙ convertToPoseGraphMst creating
-        TwoPoseGraphError edges) and drop it."""
-        cov = self.covisibilities(victim.fid)
-        kf_cov = [
-            (n, f)
+        """Summarise the keyframe into relative-pose edges selected by a
+        maximum spanning tree over the covisibility graph
+        (≙ convertToPoseGraphMst creating TwoPoseGraphError edges along MST
+        edges, ViGraphEstimator.cpp:334 + buildMst :935) and drop it.
+
+        The MST spans {victim ∪ surviving keyframes} with covisibility
+        counts as weights; every MST edge incident to the victim becomes a
+        two-pose edge, which preserves graph rigidity when the victim
+        co-observes landmarks with several keyframes (the single-best-edge
+        shortcut under-constrains wide-covisibility windows)."""
+        from okvis2x_tpu.graph.posegraph import max_spanning_tree
+
+        kfs = [
+            f
             for f in self.frames
-            if f.is_keyframe and f.fid != victim.fid
-            for n in [cov.get(f.fid, 0)]
+            if f.is_keyframe and not f.pose_graph_frame and f.fid != victim.fid
         ]
-        if kf_cov:
-            n_best, target = max(kf_cov, key=lambda x: x[0])
-            if n_best >= 3:
-                edge = self._compute_two_pose_edge(victim, target)
-                if edge is not None:
-                    self.rel_edges.append(edge)
+        nodes = [victim] + kfs
+        cov_edges = []
+        for ai, fa in enumerate(nodes):
+            cov = self.covisibilities(fa.fid)
+            for fb in nodes[ai + 1 :]:
+                n = cov.get(fb.fid, 0)
+                if n >= 3:
+                    cov_edges.append((fa.fid, fb.fid, float(n)))
+        mst = max_spanning_tree(cov_edges)
+        targets = [
+            j if i == victim.fid else i
+            for (i, j, _) in mst
+            if victim.fid in (i, j)
+        ]
+        by_fid = {f.fid: f for f in kfs}
+        made = 0
+        for tfid in targets[:3]:  # bounded fan-out per marginalised frame
+            edge = self._compute_two_pose_edge(victim, by_fid[tfid])
+            if edge is not None:
+                self.rel_edges.append(edge)
+                made += 1
+        if made == 0:
+            # fall back to the single most covisible keyframe
+            cov = self.covisibilities(victim.fid)
+            kf_cov = [(cov.get(f.fid, 0), f) for f in kfs]
+            if kf_cov:
+                n_best, target = max(kf_cov, key=lambda x: x[0])
+                if n_best >= 3:
+                    edge = self._compute_two_pose_edge(victim, target)
+                    if edge is not None:
+                        self.rel_edges.append(edge)
         # keep the frame as a frozen pose-graph anchor; its observations
         # are summarised in the edge, so they leave the active problem —
         # but are archived for the final BA re-expansion
@@ -971,6 +1106,148 @@ class SlidingWindowEstimator:
                 loop=True,
             )
         )
+        return True
+
+    # ---------------- runtime re-expansion (≙ expandKeyframe/mergeLandmark)
+    def _restore_landmark(self, lid: int) -> bool:
+        """Bring an archived landmark back into the live store."""
+        if lid in self.lm_index:
+            return True
+        hp = self.arch_lm.pop(lid, None)
+        if hp is None:
+            return False
+        self.lm_index[lid] = len(self.lm_ids)
+        self.lm_ids.append(lid)
+        self.hp_W = np.vstack([self.hp_W, np.asarray(hp)[None]])
+        self.lm_quality = np.append(self.lm_quality, 0.5)
+        return True
+
+    def expand_keyframe(self, fid: int, max_restore: int | None = None) -> int:
+        """Convert a window pose-graph frame's summarised information back
+        into live observations (≙ ViSlamBackend::expandKeyframe,
+        ViSlamBackend.cpp:461 → ViGraphEstimator::convertToObservations,
+        ViGraphEstimator.cpp:818): restore its archived observations and
+        landmarks, drop the marginalisation two-pose edges that summarised
+        them, and let the pose optimise again.  Returns #observations
+        restored."""
+        f = self._frame_by_id(fid)
+        take = np.nonzero(self.arch_obs_fid == fid)[0]
+        if max_restore is not None and len(take) > max_restore:
+            # capacity budget: prefer observations of landmarks that are
+            # already live (they couple the expanded frame to the window)
+            live_first = sorted(
+                take.tolist(),
+                key=lambda i: int(self.arch_obs_lid[i]) not in self.lm_index,
+            )
+            take = np.asarray(live_first[:max_restore])
+        keep_idx = [
+            int(i) for i in take
+            if self._restore_landmark(int(self.arch_obs_lid[i]))
+        ]
+        if keep_idx:
+            ki = np.asarray(keep_idx)
+            self.obs_fid = np.append(self.obs_fid, self.arch_obs_fid[ki])
+            self.obs_cam = np.append(self.obs_cam, self.arch_obs_cam[ki])
+            self.obs_lid = np.append(self.obs_lid, self.arch_obs_lid[ki])
+            self.obs_uv = np.vstack([self.obs_uv, self.arch_obs_uv[ki]])
+            self.obs_sigma = np.append(
+                self.obs_sigma, self.arch_obs_sigma[ki]
+            )
+            self.obs_depth = np.append(
+                self.obs_depth, self.arch_obs_depth[ki]
+            )
+            self.obs_depth_sigma = np.append(
+                self.obs_depth_sigma, self.arch_obs_depth_sigma[ki]
+            )
+        if len(take):
+            inv = np.ones(len(self.arch_obs_fid), bool)
+            inv[take] = False
+            self.arch_obs_fid = self.arch_obs_fid[inv]
+            self.arch_obs_cam = self.arch_obs_cam[inv]
+            self.arch_obs_lid = self.arch_obs_lid[inv]
+            self.arch_obs_uv = self.arch_obs_uv[inv]
+            self.arch_obs_sigma = self.arch_obs_sigma[inv]
+            self.arch_obs_depth = self.arch_obs_depth[inv]
+            self.arch_obs_depth_sigma = self.arch_obs_depth_sigma[inv]
+        # the summarising two-pose edges double-count now — drop them
+        drop = lambda e: e.get("marg") and fid in (e["i"], e["j"])
+        self.rel_edges = [e for e in self.rel_edges if not drop(e)]
+        self.archive_edges = [e for e in self.archive_edges if not drop(e)]
+        if f.pose_graph_frame:
+            f.expanded = True
+            f.pose_fixed = False
+        return len(keep_idx)
+
+    def add_loopclosure_frame(self, fid: int,
+                              max_restore: int | None = None) -> bool:
+        """Bring an archived keyframe back into the realtime window as an
+        expanded pose-graph frame so its landmarks can be re-observed and
+        merged (≙ ViSlamBackend::addLoopClosureFrame, ViSlamBackend.cpp:1418;
+        window budget okvis2.yaml numLoopClosureFrames)."""
+        if any(f.fid == fid for f in self.frames):
+            self.expand_keyframe(fid, max_restore)
+            return True
+        f = self.archive_frames.pop(fid, None)
+        if f is None:
+            return False
+        f.pose_graph_frame = True
+        f.pose_fixed = False
+        self.frames.append(f)
+        self.frames.sort(key=lambda fr: fr.timestamp)
+        self.lc_protected.add(fid)
+        self.expand_keyframe(fid, max_restore)
+        return True
+
+    def remove_loopclosure_frame(self, fid: int) -> bool:
+        """Re-archive a loop-closure frame: observations return to the
+        archive and the frame leaves the window (the summarising edges were
+        dropped at expansion; the long-term pose graph keeps its loop and
+        covisibility edges)."""
+        try:
+            f = self._frame_by_id(fid)
+        except StopIteration:
+            return False
+        gone = self.obs_fid == fid
+        self._archive_obs(gone)
+        keep = ~gone
+        self.obs_fid = self.obs_fid[keep]
+        self.obs_cam = self.obs_cam[keep]
+        self.obs_lid = self.obs_lid[keep]
+        self.obs_uv = self.obs_uv[keep]
+        self.obs_sigma = self.obs_sigma[keep]
+        self.obs_depth = self.obs_depth[keep]
+        self.obs_depth_sigma = self.obs_depth_sigma[keep]
+        f.expanded = False
+        f.pose_fixed = True
+        self.frames.remove(f)
+        self.archive_frames[fid] = f
+        self.lc_protected.discard(fid)
+        self._prune_landmarks()
+        return True
+
+    def merge_landmarks(self, lid_keep: int, lid_drop: int) -> bool:
+        """Merge two landmarks recognised as the same physical point after
+        a loop closure (≙ ViGraphEstimator::mergeLandmark driven by
+        attemptLoopClosure, ViSlamBackend.cpp:2361-2556): all live and
+        archived observations of `lid_drop` re-point to `lid_keep`."""
+        if lid_keep == lid_drop:
+            return False
+        if lid_keep not in self.lm_index:
+            if not self._restore_landmark(lid_keep):
+                return False
+        self.obs_lid = np.where(
+            self.obs_lid == lid_drop, lid_keep, self.obs_lid
+        )
+        self.arch_obs_lid = np.where(
+            self.arch_obs_lid == lid_drop, lid_keep, self.arch_obs_lid
+        )
+        if lid_drop in self.lm_index:
+            row = self.lm_index.pop(lid_drop)
+            self.lm_ids.pop(row)
+            self.hp_W = np.delete(self.hp_W, row, 0)
+            self.lm_quality = np.delete(self.lm_quality, row)
+            self.lm_index = {lid: i for i, lid in enumerate(self.lm_ids)}
+        self.arch_lm.pop(lid_drop, None)
         return True
 
     def snapshot_pose_graph(self) -> Optional[dict]:
@@ -1158,19 +1435,25 @@ class SlidingWindowEstimator:
         return self.apply_pose_graph_result(snap["fids"], T_opt)
 
     # --------------------------------------------------------------- final BA
-    def final_ba(self, iterations: int = 15) -> float:
-        """Full-batch bundle adjustment over the whole history
-        (≙ ViSlamBackend::doFinalBa, okvis_ceres/src/ViSlamBackend.cpp:2005):
-        re-expand archived observations, unfreeze all keyframe poses, and
-        jointly optimise every keyframe + landmark.  Consecutive keyframes
-        without raw IMU data are glued by relative-pose odometry edges
-        (approximation of re-propagated IMU links, documented).
+    def _full_problem(self, use_imu: bool):
+        """Assemble the complete-history BA problem: archived + live
+        observations re-expanded, marginalisation two-pose edges dropped
+        (their information returns as the raw observations), loop/alignment
+        edges kept, and — with `use_imu` — IMU links RE-PROPAGATED from the
+        archived raw measurements at the frames' current bias estimates
+        (≙ doFinalBa with ImuError::redoPropagationAlways=true,
+        ViSlamBackend.cpp:2036; the previous odometry-glue approximation
+        kept the online linearisation's errors exactly where the final BA
+        should remove them).
 
-        Writes the result back into archive + window state; returns cost.
+        Returns (BAProblem, aux dict) or None; shared by `final_ba` and the
+        background full-graph optimiser (graph/fullgraph.py).
         """
         nodes, edges = self.pose_graph()
         if len(nodes) < 2:
-            return 0.0
+            return None
+        # marginalisation summaries out (observations below carry the info)
+        edges = [e for e in edges if not e.get("marg")]
         fid2slot = {f.fid: i for i, f in enumerate(nodes)}
         nf = len(nodes)
 
@@ -1204,14 +1487,46 @@ class SlidingWindowEstimator:
         obs_uv, obs_sigma = obs_uv[ok], obs_sigma[ok]
         n_obs = len(obs_fid)
         if n_obs < 10 or nl < 5:
-            return 0.0
+            return None
 
-        # odometry glue between consecutive nodes lacking any edge
+        # IMU links between consecutive session nodes where raw data covers
+        # the span (re-propagated at current bias); odometry glue only for
+        # the remainder (loaded components, gaps, over-long spans)
+        imu_links = []  # (slot_a, slot_b, (t0, t1, bg, ba), n_samples)
+        S_final = 0
+        if use_imu:
+            t_arr, gyr_arr, acc_arr = self._full_imu_arrays()
+            for a, b in zip(nodes[:-1], nodes[1:]):
+                if a.fid < 0 or b.fid < 0 or len(t_arr) == 0:
+                    continue
+                if t_arr[0] > a.timestamp or t_arr[-1] < b.timestamp:
+                    continue  # span not covered by raw data
+                i0 = max(int(np.searchsorted(t_arr, a.timestamp, "right")) - 1, 0)
+                i1 = min(
+                    int(np.searchsorted(t_arr, b.timestamp, "left")) + 1,
+                    len(t_arr),
+                )
+                n_s = i1 - i0
+                if n_s < 2 or n_s > 4096:
+                    continue
+                imu_links.append(
+                    (
+                        fid2slot[a.fid], fid2slot[b.fid],
+                        (a.timestamp, b.timestamp, a.sb[3:6], a.sb[6:9]),
+                        n_s,
+                    )
+                )
+                S_final = max(S_final, n_s)
+
+        imu_pairs = {(l[0], l[1]) for l in imu_links}
+        # odometry glue between consecutive nodes lacking any edge/IMU link
         connected = {(min(e["i"], e["j"]), max(e["i"], e["j"])) for e in edges}
         all_edges = list(edges)
         for a, b in zip(nodes[:-1], nodes[1:]):
             if (a.fid < 0) != (b.fid < 0):
                 continue  # never glue a loaded component to the session
+            if (fid2slot[a.fid], fid2slot[b.fid]) in imu_pairs:
+                continue
             key = (min(a.fid, b.fid), max(a.fid, b.fid))
             if key not in connected:
                 T_ij = se3np.se3_multiply(
@@ -1234,16 +1549,35 @@ class SlidingWindowEstimator:
         L = bucket(nl, 64)
         N = bucket(n_obs, 256)
         R = bucket(len(all_edges), 16)
+        M = bucket(len(imu_links), 8) if imu_links else 1
         dtype = self.cfg.dtype
 
-        p = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=1, R=R, dtype=dtype)
+        p = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=M, R=R, dtype=dtype)
         T_WS = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
         T_WS[:nf] = np.stack([f.T_WS for f in nodes])
+        sb_full = np.zeros((K, 9))
+        sb_full[:nf] = np.stack([f.sb for f in nodes])
         frame_valid = np.zeros(K, bool)
         frame_valid[:nf] = True
         pose_fixed = np.zeros(K, bool)
         pose_fixed[0] = True  # gauge
         sb_fixed = np.ones(K, bool)
+        # IMU-linked frames estimate speed/bias, softly anchored at the
+        # current values (keeps unobserved bias directions bounded)
+        sb_prior = np.zeros((K, 9))
+        sb_prior_si = np.tile(np.eye(9), (K, 1, 1))
+        sb_prior_valid = np.zeros(K, bool)
+        for sa, sb_, _, _ in imu_links:
+            for slot in (sa, sb_):
+                sb_fixed[slot] = False
+                sb_prior[slot] = sb_full[slot]
+                sb_prior_si[slot] = np.diag(
+                    np.concatenate(
+                        [np.full(3, 1.0), np.full(3, 1.0 / 0.05),
+                         np.full(3, 1.0 / 0.2)]
+                    )
+                )
+                sb_prior_valid[slot] = True
 
         hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
         hp[:nl] = np.stack(hps)
@@ -1275,10 +1609,36 @@ class SlidingWindowEstimator:
             r_si[m] = e["sqrt_info"]
             r_valid[m] = True
 
+        # batched re-preintegration of every IMU link over archive + live
+        imu_i = np.zeros(M, np.int32)
+        imu_j = np.zeros(M, np.int32)
+        imu_valid = np.zeros(M, bool)
+        imu_pre = p.imu_pre
+        imu_si = p.imu_sqrt_info
+        if imu_links:
+            spans = []
+            for m, (sa, sb_, span, _) in enumerate(imu_links):
+                imu_i[m] = sa
+                imu_j[m] = sb_
+                imu_valid[m] = True
+                spans.append(span)
+            S_cap = 128
+            while S_cap < S_final:
+                S_cap *= 2
+            imu_pre, imu_si = self._preintegrate_batch(
+                spans, M, S=S_cap, imu_arrays=self._full_imu_arrays()
+            )
+
         cvt = lambda x: jnp.asarray(x, dtype)
         p = p._replace(
-            T_WS=cvt(T_WS), frame_valid=jnp.asarray(frame_valid),
+            T_WS=cvt(T_WS), sb=cvt(sb_full),
+            frame_valid=jnp.asarray(frame_valid),
             pose_fixed=jnp.asarray(pose_fixed), sb_fixed=jnp.asarray(sb_fixed),
+            sb_prior=cvt(sb_prior), sb_prior_sqrt_info=cvt(sb_prior_si),
+            sb_prior_valid=jnp.asarray(sb_prior_valid),
+            imu_i=jnp.asarray(imu_i), imu_j=jnp.asarray(imu_j),
+            imu_pre=imu_pre, imu_sqrt_info=imu_si,
+            imu_valid=jnp.asarray(imu_valid),
             T_SC=cvt(self.T_SC),
             hp_W=cvt(hp), lm_valid=jnp.asarray(lm_valid),
             obs_frame=jnp.asarray(o_frame), obs_cam=jnp.asarray(o_cam),
@@ -1311,7 +1671,16 @@ class SlidingWindowEstimator:
                 ext_prior_sqrt_info=cvt(np.tile(si_ext, (self.C, 1, 1))),
                 ext_prior_valid=jnp.ones((self.C,), bool),
             )
-        key = ("final", K, L, N, R, iterations, do_ext)
+        aux = dict(
+            fid2slot=fid2slot, lid2row=lid2row, caps=(K, L, N, R, M),
+            do_ext=do_ext, fids=[f.fid for f in nodes],
+        )
+        return p, aux
+
+    def _full_ba_run_fn(self, aux, iterations: int):
+        K, L, N, R, M = aux["caps"]
+        do_ext = aux["do_ext"]
+        key = ("final", K, L, N, R, M, iterations, do_ext)
         if key not in self._jit_cache:
             cfg_s = gn.SolverConfig(max_iterations=iterations,
                                     imu_params=self.cfg.imu,
@@ -1319,22 +1688,63 @@ class SlidingWindowEstimator:
             self._jit_cache[key] = jax.jit(
                 lambda pp, cams: gn.optimize(pp, cams, cfg_s)
             )
-        p_opt, cost = self._jit_cache[key](p, self.cams)
-        if do_ext:
-            self.T_SC = np.asarray(p_opt.T_SC, np.float64)
+        return self._jit_cache[key]
 
+    def apply_full_ba_result(self, aux, p_opt) -> bool:
+        """Write a full-BA solution back: optimised poses / speed-bias /
+        landmarks for snapshot members; frames and landmarks created since
+        the snapshot ride the rigid backlog correction (≙
+        synchroniseRealtimeAndFullGraph, ViSlamBackend.cpp:1589-1870)."""
+        nf = len(aux["fids"])
         T_out = np.asarray(p_opt.T_WS)
-        for f, slot in fid2slot.items():
-            fr = self.archive_frames.get(f)
-            if fr is None:
-                fr = self._frame_by_id(f)
-            fr.T_WS = T_out[slot]
+        if not np.all(np.isfinite(T_out[:nf])):
+            return False
+        self.apply_pose_graph_result(aux["fids"], T_out[:nf])
+        sb_out = np.asarray(p_opt.sb)
+        window = {f.fid: f for f in self.frames}
+        for fid, slot in aux["fid2slot"].items():
+            fr = self.archive_frames.get(fid) or window.get(fid)
+            if fr is not None and not np.asarray(
+                p_opt.sb_fixed
+            )[slot]:
+                fr.sb = sb_out[slot].copy()
         hp_out = np.asarray(p_opt.hp_W)
-        for lid, row in lid2row.items():
+        for lid, row in aux["lid2row"].items():
             if lid in self.lm_index:
                 self.hp_W[self.lm_index[lid]] = hp_out[row]
             else:
                 self.arch_lm[lid] = hp_out[row]
+        if aux["do_ext"]:
+            self.T_SC = np.asarray(p_opt.T_SC, np.float64)
+        return True
+
+    def snapshot_full_ba(self, iterations: int = 15):
+        """Snapshot the complete-history BA (observations + re-propagated
+        IMU + kept edges) for the background full-graph optimiser: returns
+        dict(problem, run, aux) — `run` is the jitted solver, safe to call
+        from a worker thread (JAX dispatch is thread-safe), created here so
+        the compile cache lives with the estimator."""
+        out = self._full_problem(use_imu=True)
+        if out is None:
+            return None
+        p, aux = out
+        return dict(problem=p, run=self._full_ba_run_fn(aux, iterations),
+                    aux=aux, cams=self.cams)
+
+    def final_ba(self, iterations: int = 15, redo_imu: bool = True) -> float:
+        """Full-batch bundle adjustment over the whole history
+        (≙ ViSlamBackend::doFinalBa, okvis_ceres/src/ViSlamBackend.cpp:2005):
+        re-expand archived observations, unfreeze all keyframe poses and
+        re-propagate IMU links from raw archived measurements
+        (redoPropagationAlways=true, :2036), then jointly optimise every
+        keyframe + speed/bias + landmark and write the result back."""
+        out = self._full_problem(use_imu=redo_imu)
+        if out is None:
+            return 0.0
+        p, aux = out
+        run = self._full_ba_run_fn(aux, iterations)
+        p_opt, cost = run(p, self.cams)
+        self.apply_full_ba_result(aux, p_opt)
         return float(cost)
 
     # ------------------------------------------------------------- outputs

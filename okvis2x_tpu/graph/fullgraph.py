@@ -38,23 +38,35 @@ class FullGraphOptimizer:
     """One in-flight background pose-graph optimisation at a time."""
 
     def __init__(self, iterations: int = 15, dtype=jnp.float64,
-                 pcg_threshold: int = 256, mesh=None):
+                 pcg_threshold: int = 256, mesh=None,
+                 full_ba_threshold: int = 512):
         """`pcg_threshold`: above this many keyframes the dense (6K)^2
         normal-equation solve is replaced by the matrix-free edge-sharded
         PCG solver (parallel/dist_posegraph), optionally distributed over
         `mesh` — the scalability story the reference's sparse-Ceres
-        background thread cannot reach."""
+        background thread cannot reach.
+
+        Below `full_ba_threshold` keyframes the background optimisation is
+        the COMPLETE factor graph — re-expanded reprojection observations +
+        re-propagated IMU links + kept loop/alignment edges — matching the
+        reference's `fullGraph_` (ViSlamBackend.hpp:724-743, optimiseFullGraph
+        :1971) instead of a pose-graph-only approximation; above it, the
+        pose-graph PCG keeps the latency bounded."""
         self.iterations = iterations
         self.dtype = dtype
         self.pcg_threshold = pcg_threshold
+        self.full_ba_threshold = full_ba_threshold
         self.mesh = mesh
         self._thread: Optional[threading.Thread] = None
         self._snap: Optional[dict] = None
         self._result: Optional[np.ndarray] = None
+        self._full_snap: Optional[dict] = None
+        self._full_result = None
         self._cost: float = float("nan")
         self._lock = threading.Lock()
         self.n_dispatched = 0
         self.n_synchronised = 0
+        self.n_full_ba = 0
 
     # -- status (≙ the reference's three atomics) ------------------------
     @property
@@ -66,7 +78,9 @@ class FullGraphOptimizer:
     def is_loop_closure_available(self) -> bool:
         """A finished result awaits synchronise() (≙ isLoopClosureAvailable_)."""
         with self._lock:
-            return self._result is not None and not self.is_loop_closing
+            return (
+                self._result is not None or self._full_result is not None
+            ) and not self.is_loop_closing
 
     # -- lifecycle --------------------------------------------------------
     def dispatch(self, est) -> bool:
@@ -78,6 +92,29 @@ class FullGraphOptimizer:
         with self._lock:
             if self._result is not None:
                 return False
+        # small/medium graphs: the complete factor graph in the background
+        n_nodes = len(est.pose_graph()[0])
+        if n_nodes <= self.full_ba_threshold:
+            full = est.snapshot_full_ba(self.iterations)
+            if full is not None:
+                self._full_snap = full
+
+                def work_full():
+                    p_opt, cost = full["run"](full["problem"], full["cams"])
+                    import jax
+
+                    jax.block_until_ready(p_opt.T_WS)
+                    with self._lock:
+                        self._full_result = p_opt
+                        self._cost = float(cost)
+
+                self._thread = threading.Thread(
+                    target=work_full, name="full-graph-ba", daemon=True
+                )
+                self._thread.start()
+                self.n_dispatched += 1
+                return True
+
         snap = est.snapshot_pose_graph()
         if snap is None:
             return False
@@ -126,7 +163,17 @@ class FullGraphOptimizer:
         (≙ synchroniseRealtimeAndFullGraph).  No-op unless a result is
         available."""
         with self._lock:
-            if self._result is None or self.is_loop_closing:
+            if self.is_loop_closing:
+                return False
+            if self._full_result is not None:
+                p_opt, full = self._full_result, self._full_snap
+                self._full_result, self._full_snap = None, None
+                ok = est.apply_full_ba_result(full["aux"], p_opt)
+                if ok:
+                    self.n_synchronised += 1
+                    self.n_full_ba += 1
+                return ok
+            if self._result is None:
                 return False
             T_opt, snap = self._result, self._snap
             self._result, self._snap = None, None

@@ -98,9 +98,15 @@ def icp_align(
         m = use.astype(r.dtype)
         J = Jb * m[:, None]
         rr = r * m
-        H = J.T @ J + damping * jnp.eye(6, dtype=r.dtype)
+        H = J.T @ J
+        # trace-relative damping: bounds steps along weakly-observed
+        # directions (a plane constrains 1 of 6 dofs; absolute damping
+        # leaves the null-space steps unbounded against noise gradients)
+        lam = damping * jnp.trace(H) / 6.0 + 1e-9
+        H = H + lam * jnp.eye(6, dtype=r.dtype)
         b = -(J.T @ rr)
         dx = jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return se3.retract(T_WB, dx)
 
     T = jax.lax.fori_loop(0, iterations, body, T_WB0)

@@ -39,6 +39,7 @@ class SubmapConfig(NamedTuple):
     log_odd_max: float = 5.0
     surface_band: float = 0.3  # metres: half-width of the occupied band
     samples_per_ray: int = 48  # free-space samples along each ray
+    band_samples: int = 8  # surface-band samples (>= band span / res)
 
 
 class Submap(NamedTuple):
@@ -47,7 +48,17 @@ class Submap(NamedTuple):
     weight: jax.Array  # (D, D, D) float32 integration count (for maturity)
 
 
-def new_submap(T_WK, cfg: SubmapConfig, dtype=jnp.float32) -> Submap:
+def _is_brick(cfg) -> bool:
+    return hasattr(cfg, "table_dim")
+
+
+def new_submap(T_WK, cfg, dtype=jnp.float32):
+    """Allocate a submap for the given grid config — dense `SubmapConfig`
+    or brick-sparse `mapping.brick.BrickConfig` (fine resolutions)."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.new_submap(T_WK, cfg, dtype)
     D = cfg.dim
     return Submap(
         T_WK=jnp.asarray(T_WK, dtype),
@@ -71,35 +82,25 @@ def _in_bounds(cfg: SubmapConfig, v: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def integrate_rays(
-    sm: Submap,
-    cfg: SubmapConfig,
-    origin_K: jax.Array,  # (3,) sensor centre in submap frame
-    end_K: jax.Array,  # (N, 3) measured end points in submap frame
-    valid: jax.Array,  # (N,)
-    sigma: jax.Array | float = 0.1,  # measurement stdev (scales the update)
-) -> Submap:
-    """Batch ray integration (≙ se::MapIntegrator::integrateRayBatch).
+def _ray_samples(cfg, origin_K, end_K, valid, sigma, dtype):
+    """Shared σ-aware ray sampling profile: returns (pts (N, S+B, 3),
+    upd (N, S+B) log-odds deltas, ok (N, S+B)).
 
-    Each ray scatters `samples_per_ray` free-space updates between origin
-    and (range - band) plus an occupied update at the end point, with
-    nearest-voxel splatting.  Static shapes: N rays * (S + 1) scatter items.
-    """
+    Each ray contributes `samples_per_ray` free-space updates between origin
+    and (range - band) plus a signed surface-band profile: log_odd_free at
+    (r - band), 0 at the surface, log_odd_occ at (r + band/2) — the fused
+    field's zero-crossing sits at the measured surface (the property
+    SubmapIcp relies on).  Used by both the dense and brick-sparse grids."""
     d = end_K - origin_K[None, :]
     rng = jnp.linalg.norm(d, axis=-1, keepdims=True)
     dirn = d / jnp.maximum(rng, 1e-9)
 
     S = cfg.samples_per_ray
-    B = 8  # surface-band samples
+    B = cfg.band_samples
     band = cfg.surface_band
-    # free-space sample depths: uniform in [0, range - band]
-    fr = jnp.linspace(0.0, 1.0, S, dtype=sm.logodds.dtype)
+    fr = jnp.linspace(0.0, 1.0, S, dtype=dtype)
     depth_f = fr[None, :] * jnp.maximum(rng - band, 0.0)  # (N, S)
-    # band samples spanning [range - band, range + band/2] with a signed
-    # linear profile: log_odd_free at (r - band), 0 at the surface,
-    # log_odd_occ at (r + band/2) — zero-crossing of the fused field sits at
-    # the measured surface (the property SubmapIcp relies on)
-    u = jnp.linspace(-1.0, 0.5, B, dtype=sm.logodds.dtype)  # (B,)
+    u = jnp.linspace(-1.0, 0.5, B, dtype=dtype)  # (B,)
     depth_b = rng + band * u[None, :]  # (N, B)
     upd_b = jnp.where(
         u < 0, cfg.log_odd_free * (-u), cfg.log_odd_occ * (u / 0.5)
@@ -108,10 +109,7 @@ def integrate_rays(
     depth = jnp.concatenate([depth_f, depth_b], axis=1)  # (N, S+B)
     pts = origin_K[None, None, :] + dirn[:, None, :] * depth[..., None]
     upd = jnp.concatenate(
-        [
-            jnp.full((1, S), cfg.log_odd_free, sm.logodds.dtype),
-            upd_b[None, :],
-        ],
+        [jnp.full((1, S), cfg.log_odd_free, dtype), upd_b[None, :]],
         axis=1,
     ) * jnp.ones_like(pts[..., 0])
     # weight down updates for noisy measurements
@@ -119,20 +117,51 @@ def integrate_rays(
     if jnp.ndim(sig_scale) > 0:
         sig_scale = sig_scale.reshape(-1, 1)
     upd = upd * sig_scale
+    ok = valid[:, None] & jnp.ones_like(upd, bool)
+    return pts, upd, ok
 
+
+def integrate_rays(
+    sm,
+    cfg,
+    origin_K: jax.Array,  # (3,) sensor centre in submap frame
+    end_K: jax.Array,  # (N, 3) measured end points in submap frame
+    valid: jax.Array,  # (N,)
+    sigma: jax.Array | float = 0.1,  # measurement stdev (scales the update)
+):
+    """Batch ray integration (≙ se::MapIntegrator::integrateRayBatch),
+    nearest-voxel splatting; static shapes: N rays * (S + B) scatter items.
+    Dispatches to the brick-sparse grid for `BrickConfig`."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.integrate_rays(sm, cfg, origin_K, end_K, valid, sigma)
+    pts, upd, ok = _ray_samples(
+        cfg, origin_K, end_K, valid, sigma, sm.logodds.dtype
+    )
     v = _world_to_voxel(cfg, pts)
-    ok = _in_bounds(cfg, v) & valid[:, None]
+    ok = _in_bounds(cfg, v) & ok
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.dim - 1)
     upd = jnp.where(ok, upd, 0.0)
 
     flat_idx = (
         vi[..., 0] * cfg.dim * cfg.dim + vi[..., 1] * cfg.dim + vi[..., 2]
     ).reshape(-1)
-    lo = sm.logodds.reshape(-1)
-    lo = lo.at[flat_idx].add(upd.reshape(-1))
+    okf = ok.reshape(-1)
+    # per-voxel MEAN of this integration's samples (supereight's weighted-
+    # mean update model): a sum would make the field magnitude depend on
+    # sample density along/across rays, producing ragged log-odds whose
+    # gradients flip sign — fatal for the SubmapIcp residual r = occ/|grad|
+    sum_upd = jnp.zeros_like(sm.logodds.reshape(-1)).at[flat_idx].add(
+        upd.reshape(-1)
+    )
+    cnt = jnp.zeros_like(sm.logodds.reshape(-1)).at[flat_idx].add(
+        okf.astype(sm.logodds.dtype)
+    )
+    lo = sm.logodds.reshape(-1) + sum_upd / jnp.maximum(cnt, 1.0)
     lo = jnp.clip(lo, cfg.log_odd_min, cfg.log_odd_max)
     w = sm.weight.reshape(-1)
-    w = w.at[flat_idx].add(jnp.where(ok, 1.0, 0.0).reshape(-1))
+    w = w.at[flat_idx].add(jnp.where(okf, 1.0, 0.0))
     D = cfg.dim
     return sm._replace(logodds=lo.reshape(D, D, D), weight=w.reshape(D, D, D))
 
@@ -173,11 +202,15 @@ def integrate_depth_image(
 # ---------------------------------------------------------------------------
 
 
-def interp_occupancy(sm: Submap, cfg: SubmapConfig, p_K: jax.Array):
+def interp_occupancy(sm, cfg, p_K: jax.Array):
     """Trilinear occupancy lookup at (..., 3) submap-frame points.
 
     Out-of-map points return (0, invalid) — the reference's zero-residual
     out-of-map behaviour (SubmapIcpError.cpp:55-85)."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.interp_occupancy(sm, cfg, p_K)
     v = _world_to_voxel(cfg, p_K)
     ok = _in_bounds(cfg, v)
     v = jnp.clip(v, 0.0, cfg.dim - 1.001)
@@ -201,8 +234,12 @@ def interp_occupancy(sm: Submap, cfg: SubmapConfig, p_K: jax.Array):
     return jnp.where(ok, val, 0.0), ok
 
 
-def grad_occupancy(sm: Submap, cfg: SubmapConfig, p_K: jax.Array):
+def grad_occupancy(sm, cfg, p_K: jax.Array):
     """Analytic gradient of the trilinear field wrt metric position (…, 3)."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.grad_occupancy(sm, cfg, p_K)
     v = _world_to_voxel(cfg, p_K)
     ok = _in_bounds(cfg, v)
     v = jnp.clip(v, 0.0, cfg.dim - 1.001)
@@ -235,6 +272,40 @@ def grad_occupancy(sm: Submap, cfg: SubmapConfig, p_K: jax.Array):
     )
     grad = jnp.stack([dx, dy, dz], axis=-1) / cfg.res
     return jnp.where(ok[..., None], grad, 0.0), ok
+
+
+def observed_mask(sm, cfg, p_K: jax.Array):
+    """(...,) bool: point lands in a voxel with integration weight > 0
+    (submap-overlap heuristic, ≙ evaluateDepthOverlap/evaluateLidarOverlap)."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.observed_mask(sm, cfg, p_K)
+    v = _world_to_voxel(cfg, p_K)
+    ok = _in_bounds(cfg, v)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.dim - 1)
+    return (sm.weight[vi[..., 0], vi[..., 1], vi[..., 2]] > 0) & ok
+
+
+def occupied_point_list(
+    sm, cfg, threshold: float = 1.0, max_points: int = 4096
+):
+    """Compact (max_points, 3) submap-frame occupied-voxel centres + valid
+    mask — uniform surface extraction across dense and brick grids."""
+    if _is_brick(cfg):
+        from okvis2x_tpu.mapping import brick
+
+        return brick.occupied_point_list(sm, cfg, threshold, max_points)
+    occ = (sm.logodds > threshold).reshape(-1)
+    count = jnp.sum(occ)
+    idx = jnp.nonzero(occ, size=max_points, fill_value=0)[0]
+    D = cfg.dim
+    vi = jnp.stack([idx // (D * D), (idx // D) % D, idx % D], axis=-1)
+    centers = (
+        vi.astype(sm.logodds.dtype) + 0.5
+    ) * cfg.res - D * cfg.res / 2.0
+    valid = jnp.arange(max_points) < count
+    return centers, valid
 
 
 def occupied_points(sm: Submap, cfg: SubmapConfig, threshold: float = 1.0):

@@ -136,14 +136,25 @@ class LidarVioPipeline:
             host_kf = est.frames[-1].fid
             T_WK = est.get_state(host_kf).T_WS
 
-        # frame-to-map live factor BEFORE integrating this sweep
+        # frame-to-map live factor BEFORE integrating this sweep.  With
+        # cap_icp > 0 the points enter the window solver as per-point
+        # SubmapIcp rows re-evaluated every LM iteration (≙ the reference's
+        # live SubmapIcpError factors, ViGraph.cpp:1470); otherwise fall
+        # back to the compressed relative-pose edge.
         made_edge = False
         a = self.submapper.active
         if a is not None and a.n_frames >= 2 and a.anchor_fid != fb.fid:
             anchor_in_window = any(
                 f.fid == a.anchor_fid for f in est.frames
             )
-            if anchor_in_window:
+            if anchor_in_window and est.cfg.cap_icp > 0:
+                est.set_icp_map(a.sm, self.submapper.cfg.submap)
+                est.set_live_icp_points(
+                    a.anchor_fid, fb.fid, pts_S,
+                    self.submapper.cfg.sensor_sigma,
+                )
+                made_edge = True
+            elif anchor_in_window:
                 edge = self._live_alignment_edge(a, fb, pts_S)
                 if edge is not None:
                     edge["live"] = True
@@ -164,6 +175,10 @@ class LidarVioPipeline:
             if self.submapper._overlap_fraction(a, pts_K) < 0.5:
                 self.request_keyframe = True
 
+        # integration AFTER factor creation: the live rows constrain against
+        # the pre-sweep field, so a drifted sweep cannot pull its own
+        # correction target along (matches the reference's ordering —
+        # factors in processFrame, integration in the submapping threads)
         self.submapper.integrate_lidar(host_kf, T_WK, T_WS, pts_S, 0.1)
         return dict(integrated=True, n_points=len(pts_S), live_edge=made_edge)
 

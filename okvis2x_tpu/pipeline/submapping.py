@@ -31,7 +31,8 @@ from okvis2x_tpu.mapping import submap as sm_mod
 
 @dataclasses.dataclass
 class SubmappingConfig:
-    submap: sm_mod.SubmapConfig = sm_mod.SubmapConfig()
+    # grid: dense `SubmapConfig` or brick-sparse `BrickConfig` (fine res)
+    submap: object = sm_mod.SubmapConfig()
     # ≙ se2.yaml submap thresholds (config/euroc/se2.yaml:15-25)
     new_submap_overlap: float = 0.1
     new_submap_kf_count: int = 20
@@ -40,6 +41,48 @@ class SubmappingConfig:
     sensor_sigma: float = 0.4
     depth_stride: int = 4
     max_depth: float = 20.0
+
+    @classmethod
+    def from_se2(cls, se2, pool_bricks: int = 8192) -> "SubmappingConfig":
+        """Build the runtime config from a parsed se2.yaml
+        (`io.config.SubMapConfig`) honouring the requested `map_res` —
+        resolutions finer than a 256^3 dense grid get the brick-sparse
+        representation (the reference's 25.6 m @ 0.025 m needs 1024^3,
+        config/euroc/se2.yaml:30-32)."""
+        extent = max(se2.map_dim)
+        res = se2.map_res
+        dim = int(round(extent / res))
+        lo = se2.data
+        # band samples at voxel pitch so fine grids get a painted surface
+        band = 0.3
+        band_samples = max(8, int(1.5 * band / res) + 1)
+        if dim <= 256:
+            grid = sm_mod.SubmapConfig(
+                dim=dim, res=res,
+                log_odd_min=lo.log_odd_min, log_odd_max=lo.log_odd_max,
+                surface_band=band, band_samples=band_samples,
+            )
+        else:
+            from okvis2x_tpu.mapping import brick as brick_mod
+
+            b = 8
+            grid = brick_mod.BrickConfig(
+                table_dim=-(-dim // b), brick=b, res=res,
+                pool_bricks=pool_bricks,
+                log_odd_min=lo.log_odd_min, log_odd_max=lo.log_odd_max,
+                surface_band=band, band_samples=band_samples,
+                samples_per_ray=max(48, min(192, int(0.75 * dim / 8))),
+            )
+        return cls(
+            submap=grid,
+            new_submap_overlap=se2.submap_overlap_ratio,
+            new_submap_kf_count=se2.submap_kf_threshold,
+            min_frames_integrated=se2.submap_min_frames,
+            align_points=se2.num_submap_factors,
+            sensor_sigma=max(se2.sensor_error, 0.01),
+            depth_stride=max(1, se2.depth_image_res_downsampling),
+            max_depth=se2.far_plane if se2.far_plane > 0 else 20.0,
+        )
 
 
 @dataclasses.dataclass
@@ -82,11 +125,8 @@ class SubmappingInterface:
 
             @jax.jit
             def f(sm, pts):
-                v = sm_mod._world_to_voxel(cfg, pts)
-                ok = sm_mod._in_bounds(cfg, v)
-                vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.dim - 1)
-                w = sm.weight[vi[:, 0], vi[:, 1], vi[:, 2]]
-                return jnp.sum((w > 0) & ok) / pts.shape[0]
+                seen = sm_mod.observed_mask(sm, cfg, pts)
+                return jnp.sum(seen) / pts.shape[0]
 
             self._jit[key] = f
         return float(self._jit[key](entry.sm, jnp.asarray(pts_K, jnp.float32)))
@@ -161,9 +201,6 @@ class SubmappingInterface:
         origin_K = jnp.asarray(T_KS[:3], jnp.float32)
         end_K = se3.se3_apply(
             jnp.asarray(T_KS, jnp.float32), jnp.asarray(pts_S, jnp.float32)
-        )
-        a.sm = a.sm._replace(
-            logodds=a.sm.logodds, weight=a.sm.weight
         )
         sm_new = self._integrate_rays_fn(len(pts_S))(
             a.sm, origin_K, end_K, jnp.ones(len(pts_S), bool),
@@ -260,7 +297,9 @@ class SubmappingInterface:
         submap a's field, summarised as a relative-pose edge between the two
         anchor keyframes (≙ addSubmapAlignmentFactors + updateAlignBlocks)."""
         cfgs = self.cfg.submap
-        centers, occ = sm_mod.occupied_points(b.sm, cfgs)
+        centers, occ = sm_mod.occupied_point_list(
+            b.sm, cfgs, max_points=max(4096, self.cfg.align_points)
+        )
         occ_np = np.asarray(occ)
         if occ_np.sum() < 20:
             return None
@@ -315,7 +354,9 @@ class SubmappingInterface:
         """Write all submaps' occupied voxel centres (world frame) as PLY."""
         all_pts = []
         for e in self.maps:
-            centers, occ = sm_mod.occupied_points(e.sm, self.cfg.submap, threshold)
+            centers, occ = sm_mod.occupied_point_list(
+                e.sm, self.cfg.submap, threshold, max_points=65536
+            )
             pts_K = np.asarray(centers)[np.asarray(occ)]
             if len(pts_K):
                 pts_W = np.asarray(

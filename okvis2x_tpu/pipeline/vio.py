@@ -67,6 +67,10 @@ class PipelineConfig:
     loop_min_gap_s: float = 5.0
     loop_min_inliers: int = 15
     drift_percentage: float = 1.35  # % of distance travelled
+    # loop-closure frames held in the realtime window for landmark
+    # re-observation + merging (≙ okvis2.yaml numLoopClosureFrames=3,
+    # ViSlamBackend::addLoopClosureFrame)
+    num_loopclosure_frames: int = 3
     # dual-graph mode: optimise the full pose graph on a background thread
     # and synchronise on a later frame (≙ ThreadedSlam's
     # fullGraphOptimisationThread_, ThreadedSlam.cpp:949-960); synchronous
@@ -116,6 +120,9 @@ class VioPipeline:
         self._jit = {}
         self.states_log = []  # (t, T_WS) after each frame
         self.path_length = 0.0
+        # loop-closure frames currently held in the window + merge counter
+        self.lc_frames: List[int] = []
+        self.n_landmarks_merged = 0
         # loop closure state
         self.vocab = None
         self.bow_db = None
@@ -548,7 +555,7 @@ class VioPipeline:
                     lm_pos[k] = hp[:3] / hp[3]
         self.kf_records[fid] = dict(
             t=t, packed=fd.packed.copy(), valid=fd.valid.copy(),
-            uv=fd.uv.copy(), lm_pos=lm_pos,
+            uv=fd.uv.copy(), lm_pos=lm_pos, lid=fd.lid.copy(),
             T_WS=self.est.get_state(fid).T_WS.copy(),
             path=self.path_length,
         )
@@ -618,7 +625,7 @@ class VioPipeline:
         ver = self._geometric_verify(fid, rec, cand)
         if ver is None:
             return False
-        T_WS_est, n_inl = ver
+        T_WS_est, n_inl, pairs = ver
         # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
         T_WS_cur = self.est.get_state(fid).T_WS
         correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
@@ -638,14 +645,50 @@ class VioPipeline:
             # frame (process_frame polls is_loop_closure_available)
             if not self.est.add_loop_edge(fid, cand_fid, T_cand_cur, sqrt_info):
                 return False
+            self._hold_loopclosure_frame(cand_fid)
+            self._merge_loop_landmarks(rec, cand, pairs)
             self.full_graph.dispatch(self.est)
             self.n_loop_closures += 1
             return True
         if self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
+            self._hold_loopclosure_frame(cand_fid)
+            self._merge_loop_landmarks(rec, cand, pairs)
             self.n_loop_closures += 1
             self._refresh_kf_poses()
             return True
         return False
+
+    def _hold_loopclosure_frame(self, cand_fid: int):
+        """Bring the recognised keyframe (and its landmarks) back into the
+        realtime window, holding at most num_loopclosure_frames of them
+        (≙ addLoopClosureFrame + numLoopClosureFrames window budget)."""
+        if cand_fid in self.lc_frames:
+            return
+        budget = max(64, self.est.cfg.cap_obs // 8)
+        if self.est.add_loopclosure_frame(cand_fid, max_restore=budget):
+            self.lc_frames.append(cand_fid)
+            while len(self.lc_frames) > self.cfg.num_loopclosure_frames:
+                old_fid = self.lc_frames.pop(0)
+                self.est.remove_loopclosure_frame(old_fid)
+
+    def _merge_loop_landmarks(self, rec: dict, cand: dict, pairs):
+        """Merge current landmarks with the re-observed old-map landmarks
+        along the RANSAC-inlier correspondences (≙ attemptLoopClosure ->
+        mergeLandmarks, ViSlamBackend.cpp:2361-2556): the OLD landmark id
+        survives, all observations of the new one re-point to it."""
+        cand_lid = cand.get("lid")
+        cur_lid = rec.get("lid")
+        if cand_lid is None or cur_lid is None:
+            return 0
+        merged = 0
+        for k_cur, k_cand in pairs:
+            lo, ln = int(cand_lid[k_cand]), int(cur_lid[k_cur])
+            if lo < 0 or ln < 0 or lo == ln:
+                continue
+            if self.est.merge_landmarks(lo, ln):
+                merged += 1
+        self.n_landmarks_merged += merged
+        return merged
 
     def _geometric_verify(self, fid: int, rec: dict, cand: dict):
         """Descriptor match + P3P RANSAC of the current keyframe against a
@@ -695,7 +738,11 @@ class VioPipeline:
                 se3.se3_inverse(jnp.asarray(self.T_SC[0])),
             )
         )
-        return T_WS_est, n_inl
+        # RANSAC-inlier correspondences (cur keypoint, cand keypoint) for
+        # landmark merging after an accepted loop closure
+        inl = np.asarray(res_r.inliers) & okn
+        pairs = list(zip(keep[inl].tolist(), mi[keep[inl]].tolist()))
+        return T_WS_est, n_inl, pairs
 
     # ------------------------------------------------- multi-session maps
     def load_component(self, path: str, fixed: bool = True) -> bool:
@@ -763,7 +810,7 @@ class VioPipeline:
             ver = self._geometric_verify(fid, rec, cand)
             if ver is None:
                 continue
-            T_WS_est, n_inl = ver
+            T_WS_est, n_inl, _ = ver
             T_WS_cur = self.est.get_state(fid).T_WS
             if self.relocalised:
                 # same drift gate as intra-session loops

@@ -84,6 +84,10 @@ class SolverConfig(NamedTuple):
     # (≙ OnlineCalibrationParameters; static so calibration-off runs
     # compile no extrinsics-prior kernels).
     use_ext_priors: bool = False
+    # Per-point submap ICP rows (≙ ceres::SubmapIcpError): the static grid
+    # config (mapping.submap.SubmapConfig or mapping.brick.BrickConfig) of
+    # problem.icp_map.  None compiles no ICP kernels.
+    icp_cfg: object = None
     # Unroll the LM loop into straight-line code.  On TPU runtimes every
     # dynamic loop step whose body launches tensor kernels pays a fixed
     # ~0.6 ms sequencer sync, which dominates the ~0.3 ms of actual work per
@@ -336,6 +340,58 @@ def rel_residual_jacobians(T_A, T_B, Trel, si):
     return r, Ji, Jj
 
 
+def _linearize_icp(p: BAProblem, cfg: SolverConfig):
+    """Per-point submap ICP rows (≙ SubmapIcpError::
+    EvaluateWithMinimalJacobians, okvis_ceres/src/SubmapIcpError.cpp:42):
+    residual of each measured point against the occupancy field of the
+    submap anchored at window frame icp_a, with Jacobians wrt BOTH the
+    anchor and the owner pose — the rows iterate inside LM like every
+    other factor family instead of being frozen into a relative-pose
+    edge before the solve."""
+    from okvis2x_tpu.mapping import icp_factor
+
+    scfg = cfg.icp_cfg
+    dtype = p.T_WS.dtype
+    one_true = jnp.ones((1,), bool)
+
+    def one(a, b, pt, si):
+        def f(da, db):
+            r, _ = icp_factor.icp_residuals(
+                p.icp_map, scfg,
+                se3.retract(p.T_WS[a], da), se3.retract(p.T_WS[b], db),
+                pt[None, :], one_true, sigma=1.0,
+            )
+            return r[0] * si
+
+        z6 = jnp.zeros(6, dtype)
+        r = f(z6, z6)
+        Ja, Jb = jax.jacfwd(f, argnums=(0, 1))(z6, z6)
+        _, use = icp_factor.icp_residuals(
+            p.icp_map, scfg, p.T_WS[a], p.T_WS[b], pt[None, :], one_true,
+            sigma=1.0,
+        )
+        return r, Ja, Jb, use[0]
+
+    r, Ja, Jb, use = jax.vmap(one)(p.icp_a, p.icp_b, p.icp_p_B, p.icp_si)
+    Jrow = _frame_rows(
+        p,
+        [
+            (_pad15(Ja[:, None, :], 0), p.icp_a),
+            (_pad15(Jb[:, None, :], 0), p.icp_b),
+        ],
+    )
+    return r[:, None], Jrow, use & p.icp_valid
+
+
+def _icp_enabled(p: BAProblem, cfg: SolverConfig) -> bool:
+    return (
+        cfg.icp_cfg is not None
+        and p.icp_a is not None
+        and p.icp_a.shape[0] > 0
+        and p.icp_map is not None
+    )
+
+
 def _linearize_rel(p: BAProblem):
     """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows."""
 
@@ -438,6 +494,8 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
         fams.append(_linearize_gps(p, cfg))
     if cfg.use_ext_priors:
         fams.append(_linearize_ext_priors(p))
+    if _icp_enabled(p, cfg):
+        fams.append(_linearize_icp(p, cfg))
     rs, Js = [], []
     for r_, J_, v_ in fams:
         m = v_.astype(dtype)
@@ -541,6 +599,24 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
         cost = cost + 0.5 * jnp.sum(
             (r_e * p.ext_prior_valid.astype(dtype)[:, None]) ** 2
         )
+
+    if _icp_enabled(p, cfg):
+        from okvis2x_tpu.mapping import icp_factor
+
+        one_true = jnp.ones((1,), bool)
+
+        def icp_one(a, b, pt, si):
+            r, use = icp_factor.icp_residuals(
+                p.icp_map, cfg.icp_cfg, p.T_WS[a], p.T_WS[b],
+                pt[None, :], one_true, sigma=1.0,
+            )
+            return r[0] * si, use[0]
+
+        r_icp, use_icp = jax.vmap(icp_one)(
+            p.icp_a, p.icp_b, p.icp_p_B, p.icp_si
+        )
+        m = (use_icp & p.icp_valid).astype(dtype)
+        cost = cost + 0.5 * jnp.sum((r_icp * m) ** 2)
     return cost
 
 

@@ -85,6 +85,20 @@ class BAProblem(NamedTuple):
     gps_r_SA: jax.Array  # (3,) antenna offset in S
     gps_sqrt_info: jax.Array  # (G, 3, 3)
     gps_valid: jax.Array  # (G,) bool
+    # -- per-point submap ICP factors (≙ ceres::SubmapIcpError,
+    # okvis_ceres/src/SubmapIcpError.cpp:42-215; live frame-to-map residuals
+    # added to the realtime problem at ViGraph.cpp:1470 and re-evaluated
+    # every LM iteration).  `icp_map` is the target occupancy grid pytree
+    # (mapping.submap.Submap or mapping.brick.BrickSubmap, static shapes);
+    # the grid *config* travels statically in SolverConfig.icp_cfg.  The
+    # submap anchor keyframe is referenced by window index so both the
+    # anchor and the point-owner pose iterate inside the solve. ----------
+    icp_a: jax.Array | None = None  # (Q,) int32 anchor (submap) frame
+    icp_b: jax.Array | None = None  # (Q,) int32 point-owner frame
+    icp_p_B: jax.Array | None = None  # (Q, 3) points in owner body frame
+    icp_si: jax.Array | None = None  # (Q,) residual whitening (1/sigma)
+    icp_valid: jax.Array | None = None  # (Q,) bool
+    icp_map: object = None
 
     # ----- static helpers --------------------------------------------------
     @property
@@ -129,6 +143,7 @@ def empty_problem(
     M: int,
     R: int = 0,
     G: int = 1,
+    Q: int = 0,
     dtype=jnp.float64,
 ) -> BAProblem:
     """Allocate an all-invalid problem of the given capacities."""
@@ -182,6 +197,12 @@ def empty_problem(
         gps_r_SA=jnp.zeros((3,), dtype),
         gps_sqrt_info=jnp.tile(jnp.eye(3, dtype=dtype), (G, 1, 1)),
         gps_valid=jnp.zeros((G,), bool),
+        icp_a=jnp.zeros((Q,), i32) if Q else None,
+        icp_b=jnp.zeros((Q,), i32) if Q else None,
+        icp_p_B=jnp.zeros((Q, 3), dtype) if Q else None,
+        icp_si=jnp.ones((Q,), dtype) if Q else None,
+        icp_valid=jnp.zeros((Q,), bool) if Q else None,
+        icp_map=None,
     )
 
 

@@ -39,10 +39,19 @@ def setup(cache_dir: str | None = None):
 
     # default to a repo-local cache so warm compiles survive /tmp wipes
     # (the unrolled 10-iteration LM program takes ~10 min to compile cold
-    # on a 2-vCPU host; a cache hit loads in seconds)
-    repo_cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-    cache = cache_dir or os.environ.get("JAX_CACHE_DIR") or os.path.abspath(repo_cache)
+    # on a 2-vCPU host; a cache hit loads in seconds); for non-source
+    # installs where the package dir is read-only, fall back to
+    # ~/.cache/okvis2x_tpu/jax so the persistent cache is never silently off
+    repo_cache = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    )
+    cache = cache_dir or os.environ.get("JAX_CACHE_DIR") or repo_cache
+    if cache == repo_cache and not os.access(os.path.dirname(repo_cache), os.W_OK):
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "okvis2x_tpu", "jax"
+        )
     try:
+        os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -208,3 +208,75 @@ def test_final_ba_improves_or_holds():
         k = int(np.argmin(np.abs(sim["t_frames"] - t)))
         errs.append(np.linalg.norm(T[:3] - sim["T_WS_gt"][k][:3]))
     assert max(errs) < 0.2, errs
+
+
+def _run_vio_then_final_ba(redo_imu: bool, bias_g=0.004) -> float:
+    """VIO with a constant gyro bias injected into the measurements; the
+    online window absorbs it into the bias states, and the final BA either
+    re-propagates IMU from raw data at the solved biases (redo_imu) or
+    falls back to frozen odometry glue.  Returns max position error."""
+    cams, T_SC = make_rig()
+    sim = simulate(duration=3.0, imu_noise=False)
+    pts = make_landmarks()
+    cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=4, num_imu_frames=3,
+        cap_landmarks=256, cap_obs=2048, cap_imu_links=9,
+        max_iterations=5,
+    )
+    est = SlidingWindowEstimator(cfg, cams, T_SC)
+    bias = np.array([bias_g, -bias_g, bias_g])
+
+    for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+        if t > sim["t_frames"][0] + 0.01:
+            break
+        est.add_imu_measurement(t, w + bias, a)
+    cam = cams[0]
+    lid_by_pt = {}
+    rng = np.random.default_rng(17)
+    imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+    for k, tf in enumerate(sim["t_frames"]):
+        while imu_idx < len(sim["t_imu"]) and sim["t_imu"][imu_idx] <= tf + 0.005:
+            est.add_imu_measurement(
+                sim["t_imu"][imu_idx], sim["gyr"][imu_idx] + bias,
+                sim["acc"][imu_idx],
+            )
+            imu_idx += 1
+        fid = est.add_state(tf)
+        T_WS_gt = sim["T_WS_gt"][k]
+        for c in range(2):
+            T_CW = se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(T_SC[c])),
+                se3.se3_inverse(jnp.asarray(T_WS_gt)),
+            )
+            p_C = np.asarray(jax.vmap(lambda pt: se3.se3_apply(T_CW, pt))(
+                jnp.asarray(pts)))
+            uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+            uv, valid = np.asarray(uv), np.asarray(valid)
+            for i in np.nonzero(valid)[0][:30]:
+                if i not in lid_by_pt:
+                    hp = np.concatenate([pts[i] + rng.normal(0, 0.05, 3), [1.0]])
+                    lid_by_pt[i] = est.add_landmark(hp)
+                est.add_observation(fid, c, lid_by_pt[i],
+                                    uv[i] + rng.normal(0, 0.5, 2))
+        est.set_keyframe(fid, k % 3 == 0)
+        est.optimise()
+        est.marginalise()
+
+    est.final_ba(iterations=8, redo_imu=redo_imu)
+    fts, fTs = est.full_trajectory()
+    errs = []
+    for t, T in zip(fts, fTs):
+        k = int(np.argmin(np.abs(sim["t_frames"] - t)))
+        errs.append(np.linalg.norm(T[:3] - sim["T_WS_gt"][k][:3]))
+    return float(max(errs))
+
+
+@pytest.mark.slow
+def test_final_ba_repropagated_imu_beats_glue():
+    """VERDICT item 10 gate: with a biased IMU, re-propagated final-BA IMU
+    links (redoPropagationAlways=true) must not lose to the frozen
+    odometry-glue approximation, and must stay within the online bound."""
+    err_redo = _run_vio_then_final_ba(redo_imu=True)
+    err_glue = _run_vio_then_final_ba(redo_imu=False)
+    assert err_redo < 0.15, (err_redo, err_glue)
+    assert err_redo <= err_glue * 1.05, (err_redo, err_glue)

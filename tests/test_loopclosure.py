@@ -99,3 +99,114 @@ def test_close_loop_rejects_unknown_frames():
                    sb=np.zeros(9), is_keyframe=True)
     )
     assert not est.close_loop(0, 99, np.array([0, 0, 0, 0, 0, 0, 1.0]), np.eye(6))
+
+
+def test_expand_merge_recovers_drift():
+    """VERDICT items 4/5 gate (estimator level): after a loop closure the
+    recognised keyframe re-enters the window (addLoopClosureFrame), its
+    archived observations re-expand (expandKeyframe/convertToObservations),
+    duplicated landmarks merge (mergeLandmarks) — and the window
+    re-optimisation then recovers the drift, which the pose-graph-only
+    path cannot (no observation ties the drifted frames to the old map)."""
+    cam = pinhole.make_pinhole(
+        fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=640, height=480,
+        model=dist.NONE,
+    )
+    cfg = EstimatorConfig(cap_frames=8, cap_landmarks=128, cap_obs=512,
+                          cap_imu_links=7, cap_rel_edges=8, max_iterations=25)
+    T_SC = np.array([[0, 0, 0, 0, 0, 0, 1.0]])
+    rng = np.random.default_rng(2)
+    pts = np.stack(
+        [rng.uniform(-2, 2, 40), rng.uniform(-1.5, 1.5, 40),
+         rng.uniform(4, 7, 40)], -1
+    )
+    T_true = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    # residual drift AFTER the pose-graph loop correction (the reference
+    # also merges only after attemptLoopClosure distributed the loop error;
+    # larger offsets are robust-downweighted as outliers by design)
+    drift = np.array([0.05, -0.03, 0.02])
+
+    def project(T_WS, pt):
+        T_CW = np.asarray(
+            se3.se3_inverse(jnp.asarray(T_WS, jnp.float64))
+        )
+        p_C = np.asarray(se3.se3_apply(jnp.asarray(T_CW), jnp.asarray(pt)))
+        uv, ok = pinhole.project(cam, jnp.asarray(p_C))
+        return np.asarray(uv), bool(ok)
+
+    def build(merge: bool):
+        est = SlidingWindowEstimator(cfg, [cam], T_SC)
+        # archived keyframe A at the true pose with true landmarks
+        A = FrameState(fid=100, timestamp=0.0, T_WS=T_true.copy(),
+                       sb=np.zeros(9), is_keyframe=True, pose_fixed=True,
+                       pose_graph_frame=True)
+        est.archive_frames[100] = A
+        lidsA = []
+        for pt in pts:
+            lid = est._next_lid
+            est._next_lid += 1
+            est.arch_lm[lid] = np.concatenate([pt, [1.0]])
+            lidsA.append(lid)
+            uv, ok = project(T_true, pt)
+            if ok:
+                est.arch_obs_fid = np.append(est.arch_obs_fid, 100)
+                est.arch_obs_cam = np.append(est.arch_obs_cam, 0)
+                est.arch_obs_lid = np.append(est.arch_obs_lid, lid)
+                est.arch_obs_uv = np.vstack([est.arch_obs_uv, uv[None]])
+                est.arch_obs_sigma = np.append(est.arch_obs_sigma, 1.0)
+                est.arch_obs_depth = np.append(est.arch_obs_depth, 1.0)
+                est.arch_obs_depth_sigma = np.append(
+                    est.arch_obs_depth_sigma, 0.0
+                )
+
+        # window frames B, C: constant drift, self-consistent duplicated map
+        lidsB = {}
+        for k, fid in enumerate((200, 201)):
+            T_drift = T_true.copy()
+            T_drift[:3] += drift
+            T_drift[0] += 0.02 * k
+            # expanded pose-graph frames: free poses, no IMU chain (this
+            # bare test has no IMU data; phantom identity links would
+            # inject bogus zero-motion + gravity residuals)
+            est.frames.append(FrameState(
+                fid=fid, timestamp=1.0 + 0.1 * k, T_WS=T_drift,
+                sb=np.zeros(9), is_keyframe=True, sb_fixed=True,
+                pose_graph_frame=True, expanded=True,
+            ))
+            for i, pt in enumerate(pts):
+                true_Tk = T_true.copy()
+                true_Tk[0] += 0.02 * k  # true relative motion matches belief
+                uv, ok = project(true_Tk, pt)  # measured from TRUE pose
+                if not ok:
+                    continue
+                if i not in lidsB:
+                    lidsB[i] = est.add_landmark(
+                        np.concatenate([pt + drift, [1.0]])
+                    )
+                est.add_observation(fid, 0, lidsB[i], uv)
+
+        assert est.add_loopclosure_frame(100)
+        # keep the old keyframe as the gauge anchor (production windows
+        # carry frozen pose-graph frames; this bare problem has none)
+        est._frame_by_id(100).pose_fixed = True
+        if merge:
+            for i, lid_new in lidsB.items():
+                est.merge_landmarks(lidsA[i], lid_new)
+        est.optimise()
+        err = np.linalg.norm(est.frames[-1].T_WS[:3] - np.array([0.02, 0, 0]))
+        return est, err
+
+    est_m, err_merged = build(merge=True)
+    _, err_plain = build(merge=False)
+    # merged path: drift recovered
+    assert err_merged < 0.01, (err_merged, err_plain)
+    # pose-graph-only (no merge): drift remains
+    assert err_plain > 0.04, (err_merged, err_plain)
+    # bookkeeping: frame 100 is in the window, expanded, with live obs
+    f100 = est_m._frame_by_id(100)
+    assert f100.expanded and f100.pose_graph_frame
+    assert (est_m.obs_fid == 100).sum() > 20
+    # release: observations return to archive
+    est_m.remove_loopclosure_frame(100)
+    assert all(f.fid != 100 for f in est_m.frames)
+    assert (est_m.arch_obs_fid == 100).sum() > 20

@@ -38,7 +38,9 @@ def test_integration_marks_surface_and_free_space():
     occ, ok1 = sm_mod.interp_occupancy(sm, CFG, probe_occ)
     free, ok2 = sm_mod.interp_occupancy(sm, CFG, probe_free)
     assert bool(ok1.all()) and bool(ok2.all())
-    assert float(occ.min()) > 0.5
+    # per-integration mean updates: a coarse voxel straddling the surface
+    # carries the mean band profile (small positive), not the sample sum
+    assert float(occ.min()) > 0.3
     assert float(free.max()) < -0.1
 
 
@@ -99,20 +101,32 @@ def test_icp_jacobian_finite_diff():
 
 
 def test_icp_align_recovers_offset():
-    sm = make_wall_submap()
+    # resolved grid: the 0.3 m band must span several voxels for the
+    # gradient-normalised residual to be informative (coarse 0.2 m grids
+    # collapse the band into one near-zero-mean voxel)
+    cfg_fine = sm_mod.SubmapConfig(dim=96, res=0.05, band_samples=16)
+    sm = sm_mod.new_submap(np.array([0, 0, 0, 0, 0, 0, 1.0]), cfg_fine)
+    xs = np.linspace(-1.8, 1.8, 72)
+    gx, gy = np.meshgrid(xs, xs)
+    end = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 2.0)], -1)
+    for _ in range(3):
+        sm = sm_mod.integrate_rays(
+            sm, cfg_fine, jnp.zeros(3, F32), jnp.asarray(end, F32),
+            jnp.ones(len(end), bool), 0.05,
+        )
     T_WA = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
     # points measured from a pose offset in z: surface at z=2 seen at 2 - dz
     dz_true = 0.15
     pts = jnp.asarray(
         np.stack(
-            [RNG.uniform(-2, 2, 200), RNG.uniform(-2, 2, 200),
+            [RNG.uniform(-1.5, 1.5, 200), RNG.uniform(-1.5, 1.5, 200),
              np.full(200, 2.0 - dz_true)], -1
         ),
         F32,
     )
     T_WB0 = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], F32)
     T, cost = icp_factor.icp_align(
-        sm, CFG, T_WA, T_WB0, pts, jnp.ones(200, bool), iterations=10
+        sm, cfg_fine, T_WA, T_WB0, pts, jnp.ones(200, bool), iterations=10
     )
     # optimal pose shifts points onto the surface: T_WB z ≈ +dz
     assert abs(float(T[2]) - dz_true) < 0.05, np.asarray(T)

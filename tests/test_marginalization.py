@@ -188,3 +188,70 @@ def test_extrinsics_edge_weaker_than_fixed_extrinsics():
     assert float(s_ext) <= float(s_fixed) + 1e-6
     ev = np.linalg.eigvalsh(0.5 * ((H_fixed - H_ext) + (H_fixed - H_ext).T))
     assert ev.min() > -1e-5 * max(1.0, ev.max())
+
+
+def test_mst_marginalisation_creates_multiple_edges():
+    """Marginalising a keyframe that co-observes landmarks with several
+    surviving keyframes must create MST-selected edges to more than one of
+    them (≙ convertToPoseGraphMst, ViGraphEstimator.cpp:334) — not just the
+    single most covisible target."""
+    from okvis2x_tpu.graph import EstimatorConfig, SlidingWindowEstimator
+
+    rng = np.random.default_rng(3)
+    cam = pinhole.make_pinhole(
+        fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=640, height=480,
+        model="none", dist_params=[],
+    )
+    T_SC = np.array(
+        [[-0.055, 0, 0, 0, 0, 0, 1.0], [0.055, 0, 0, 0, 0, 0, 1.0]]
+    )
+    cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=2, num_imu_frames=1,
+        cap_landmarks=128, cap_obs=1024, cap_imu_links=8, max_iterations=2,
+    )
+    est = SlidingWindowEstimator(cfg, [cam, cam], T_SC)
+
+    pts = np.stack(
+        [rng.uniform(-2, 2, 60), rng.uniform(-1.5, 1.5, 60),
+         rng.uniform(3.0, 6.0, 60)], -1
+    )
+    dt = 0.25
+    for t in np.arange(0.0, 1.3, 0.01):
+        est.add_imu_measurement(t, np.zeros(3), np.array([0, 0, 9.81]))
+    lids = {}
+    for k in range(5):
+        tf = 0.05 + k * dt
+        fid = est.add_state(tf)
+        T_WS = np.array([0.2 * k, 0, 0, 0, 0, 0, 1.0])
+        for c in range(2):
+            T_CW = np.asarray(
+                se3.se3_multiply(
+                    se3.se3_inverse(jnp.asarray(T_SC[c])),
+                    se3.se3_inverse(jnp.asarray(T_WS)),
+                )
+            )
+            p_C = np.asarray(
+                jax.vmap(lambda pt: se3.se3_apply(jnp.asarray(T_CW), pt))(
+                    jnp.asarray(pts)
+                )
+            )
+            uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+            uv, valid = np.asarray(uv), np.asarray(valid)
+            for i in np.nonzero(valid)[0]:
+                if i not in lids:
+                    lids[i] = est.add_landmark(np.concatenate([pts[i], [1.0]]))
+                est.add_observation(fid, c, lids[i], uv[i])
+        est.set_keyframe(fid, True)
+    n_edges_before = len(est.rel_edges)
+    est.marginalise()
+    # surplus keyframes (5 kf - 1 imu-frame tail - 2 window kf = 2 victims)
+    # co-observe the same grid with every survivor: MST fan-out must create
+    # more than one edge for at least one victim
+    new_edges = est.rel_edges[n_edges_before:]
+    assert len(new_edges) >= 3, [
+        (e["i"], e["j"]) for e in new_edges
+    ]
+    from collections import Counter
+
+    per_victim = Counter(e["i"] for e in new_edges)
+    assert max(per_victim.values()) >= 2, per_victim
