@@ -66,6 +66,107 @@ def assign_words(pm1: jax.Array, vocab: jax.Array) -> jax.Array:
     return jnp.argmax(dots, axis=1).astype(jnp.int32)
 
 
+class HierVocabulary:
+    """k-ary vocabulary tree (2 levels), the DBoW2 structure re-shaped for
+    the MXU (≙ reference's pretrained `resources/small_voc.yml.gz`, loaded
+    at Frontend.cpp:91-115).
+
+    Descent = two MXU matmuls: branch dots (N, B) pick the subtree, then
+    leaf dots (N, B*L) are masked to the chosen subtree's leaves and
+    argmax'd — same quantisation path as DBoW2's tree descent, no gathers.
+    """
+
+    def __init__(self, branches: jax.Array, leaves: jax.Array):
+        self.branches = branches  # (B, 384) ±1 bf16
+        self.leaves = leaves  # (B*L, 384) ±1 bf16, leaf b*L+l under b
+        self.B = branches.shape[0]
+        self.L = leaves.shape[0] // self.B
+
+    @property
+    def n_words(self) -> int:
+        return self.leaves.shape[0]
+
+    def save(self, path: str):
+        """Persist packed (bit-level) to .npz — ~200 KB for 64x64."""
+        def pack(pm1):
+            bits = (np.asarray(pm1, np.float32) > 0).astype(np.uint8)
+            return np.packbits(
+                bits, axis=1, bitorder="little"
+            ).reshape(bits.shape[0], -1, 4).view(np.uint32)[:, :, 0].reshape(
+                bits.shape[0], -1
+            )
+        np.savez_compressed(
+            path, branches=pack(self.branches), leaves=pack(self.leaves),
+            B=self.B, L=self.L, version=1,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "HierVocabulary":
+        z = np.load(path)
+
+        def unpack(words):
+            bits = np.unpackbits(
+                words.view(np.uint8).reshape(words.shape[0], -1),
+                axis=1, bitorder="little",
+            ).astype(np.float32)
+            return jnp.asarray(bits * 2.0 - 1.0, jnp.bfloat16)
+
+        return cls(unpack(z["branches"]), unpack(z["leaves"]))
+
+
+def train_vocabulary_hier(
+    pm1: jax.Array, branch: int = 64, leaf: int = 64, iters: int = 8,
+    seed: int = 0,
+) -> HierVocabulary:
+    """Hierarchical binary k-means: level-1 k-means over the corpus, then
+    an independent k-means inside every branch (≙ DBoW2 vocabulary
+    creation)."""
+    rng = np.random.default_rng(seed)
+    branches = train_vocabulary(pm1, k=branch, iters=iters, seed=seed)
+    assign = np.asarray(assign_words(pm1, branches))
+    x = np.asarray(pm1, np.float32)
+    leaves = np.zeros((branch * leaf, x.shape[1]), np.float32)
+    for b in range(branch):
+        sub = x[assign == b]
+        if len(sub) < leaf:
+            # thin branch: sample with replacement so every leaf exists
+            extra = x[rng.integers(0, len(x), leaf - len(sub) + leaf)]
+            sub = np.concatenate([sub, extra]) if len(sub) else extra
+        c = train_vocabulary(
+            jnp.asarray(sub), k=leaf, iters=iters, seed=seed + 1 + b
+        )
+        leaves[b * leaf:(b + 1) * leaf] = np.asarray(c, np.float32)
+    return HierVocabulary(branches, jnp.asarray(leaves, jnp.bfloat16))
+
+
+@jax.jit
+def _assign_hier(pm1, branches, leaves, L: int):
+    f32 = jnp.float32
+    d1 = jax.lax.dot_general(
+        pm1, branches, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    b = jnp.argmax(d1, axis=1)  # (N,)
+    d2 = jax.lax.dot_general(
+        pm1, leaves, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )  # (N, B*L)
+    leaf_branch = jnp.arange(d2.shape[1]) // L  # (B*L,)
+    d2 = jnp.where(leaf_branch[None, :] == b[:, None], d2, -jnp.inf)
+    return jnp.argmax(d2, axis=1).astype(jnp.int32)
+
+
+def assign(pm1: jax.Array, vocab) -> jax.Array:
+    """Word assignment for either a flat (k, 384) vocabulary array or a
+    HierVocabulary tree."""
+    if isinstance(vocab, HierVocabulary):
+        return _assign_hier(pm1, vocab.branches, vocab.leaves, vocab.L)
+    return assign_words(pm1, vocab)
+
+
+def n_words(vocab) -> int:
+    return vocab.n_words if isinstance(vocab, HierVocabulary) else \
+        vocab.shape[0]
+
+
 class BowDatabase:
     """Host inverted index with tf-idf scoring (≙ DBoW2 Database::query)."""
 

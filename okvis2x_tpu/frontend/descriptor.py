@@ -56,6 +56,28 @@ def _make_pattern():
 
 PATTERN_PTS, PAIR_A, PAIR_B = _make_pattern()
 
+# constant one-hot pair-selection matrices: selecting columns by constant
+# index arrays (vals[:, PAIR_A]) lowers to a slow TPU gather; as (60, 384)
+# ±one-hot matmuls the whole "compare all pairs" step runs on the MXU as
+# vals @ (A - B) followed by a sign test.
+_PAIR_DIFF = np.zeros((60, DESC_BITS), np.float32)
+_PAIR_DIFF[np.asarray(PAIR_A), np.arange(DESC_BITS)] += 1.0
+_PAIR_DIFF[np.asarray(PAIR_B), np.arange(DESC_BITS)] -= 1.0
+PAIR_DIFF = jnp.asarray(_PAIR_DIFF)  # (60, 384) float32
+
+# packed-word weights: bits -> uint32 via two exact f32 matmuls (low/high
+# 16-bit halves; f32 integers are exact below 2^24)
+_W_LO = np.zeros((DESC_BITS, DESC_WORDS), np.float32)
+_W_HI = np.zeros((DESC_BITS, DESC_WORDS), np.float32)
+for _b in range(DESC_BITS):
+    _w, _s = divmod(_b, 32)
+    if _s < 16:
+        _W_LO[_b, _w] = float(1 << _s)
+    else:
+        _W_HI[_b, _w] = float(1 << (_s - 16))
+PACK_W_LO = jnp.asarray(_W_LO)
+PACK_W_HI = jnp.asarray(_W_HI)
+
 
 # ---------------------------------------------------------------------------
 # extraction
@@ -63,7 +85,11 @@ PATTERN_PTS, PAIR_A, PAIR_B = _make_pattern()
 
 
 def _bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
-    """Bilinear sample img (H, W) at xy (..., 2) in (x, y) pixel coords."""
+    """Bilinear sample img (H, W) at xy (..., 2) in (x, y) pixel coords.
+
+    Flattened 1-D gathers with mode='clip': a 2-D fancy-index gather lowers
+    to a slow general gather on TPU, while 1-D takes with in-bounds indices
+    hit the fast path."""
     H, W = img.shape
     x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
     y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
@@ -71,16 +97,51 @@ def _bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    flat = img.reshape(-1)
+    base = y0 * W + x0
+    v00 = jnp.take(flat, base, mode="clip")
+    v01 = jnp.take(flat, base + 1, mode="clip")
+    v10 = jnp.take(flat, base + W, mode="clip")
+    v11 = jnp.take(flat, base + W + 1, mode="clip")
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+
+
+def _bilinear_mxu(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Bilinear sampling as two MXU contractions (one-hot interpolation
+    weights), for large static sample sets.
+
+    Random-position gathers serialise on the TPU (~40 ms for 42k samples at
+    752x480); expressing the same bilinear form as
+    ``sum((Y_w @ img) * X_w, -1)`` with sparse-as-dense one-hot weight
+    matrices runs in ~1 ms on the MXU.  xy is (..., 2); returns (...)."""
+    H, W = img.shape
+    shape = xy.shape[:-1]
+    xy2 = xy.reshape(-1, 2)
+    x = jnp.clip(xy2[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(xy2[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (xy2.shape[0], H), 1)
+    Yw = jnp.where(iy == y0[:, None], 1.0 - fy[:, None], 0.0) + jnp.where(
+        iy == y0[:, None] + 1, fy[:, None], 0.0
+    )
+    rows = jax.lax.dot_general(
+        Yw.astype(jnp.bfloat16), img.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (M, W)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (xy2.shape[0], W), 1)
+    Xw = jnp.where(ix == x0[:, None], 1.0 - fx[:, None], 0.0) + jnp.where(
+        ix == x0[:, None] + 1, fx[:, None], 0.0
+    )
+    vals = (rows * Xw).sum(-1)
+    return vals.reshape(shape)
 
 
 def _smooth(img: jax.Array) -> jax.Array:
@@ -114,18 +175,28 @@ def extract(
     scale = (1.0 + level.astype(jnp.float32)) * 1.0  # pattern scale per level
     offsets = jnp.einsum("nij,pj->npi", R, PATTERN_PTS) * scale[:, None, None]
     sample_xy = uv[:, None, :] + offsets  # (N, 60, 2)
-    vals = _bilinear(img, sample_xy)  # (N, 60)
+    vals = _bilinear_mxu(img, sample_xy)  # (N, 60)
 
-    bits = (vals[:, PAIR_A] > vals[:, PAIR_B]).astype(jnp.uint32)  # (N, 384)
-    bits = bits * valid[:, None].astype(jnp.uint32)
+    # all 384 comparisons as one MXU matmul against the constant ±one-hot
+    # pair-difference matrix (column gathers serialise on TPU)
+    diff = jax.lax.dot_general(
+        vals, PAIR_DIFF, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, 384) = vals[PAIR_A] - vals[PAIR_B]
+    bitsf = (diff > 0).astype(jnp.float32) * valid[:, None].astype(jnp.float32)
 
-    # pack to uint32 words
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = (bits.reshape(-1, DESC_WORDS, 32) << shifts[None, None, :]).sum(
-        axis=-1, dtype=jnp.uint32
+    # pack to uint32 words: two exact f32 matmuls (low/high 16-bit halves)
+    lo = jax.lax.dot_general(
+        bitsf, PACK_W_LO, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    hi = jax.lax.dot_general(
+        bitsf, PACK_W_HI, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    packed = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
 
-    pm1 = (2.0 * bits.astype(jnp.float32) - 1.0) * valid[:, None].astype(jnp.float32)
+    pm1 = 2.0 * bitsf - valid[:, None].astype(jnp.float32)
     return packed, pm1.astype(jnp.bfloat16)
 
 

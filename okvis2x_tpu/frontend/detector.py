@@ -85,11 +85,15 @@ def _downsample2(img: jax.Array) -> jax.Array:
 def _subpixel_offsets(resp: jax.Array, ys: jax.Array, xs: jax.Array):
     """Quadratic 1D fits in x and y around integer maxima."""
 
+    flat = resp.reshape(-1)
+    W = resp.shape[1]
+
     def grab(dy, dx):
-        return resp[
-            jnp.clip(ys + dy, 0, resp.shape[0] - 1),
-            jnp.clip(xs + dx, 0, resp.shape[1] - 1),
-        ]
+        idx = (
+            jnp.clip(ys + dy, 0, resp.shape[0] - 1) * W
+            + jnp.clip(xs + dx, 0, resp.shape[1] - 1)
+        )
+        return jnp.take(flat, idx, mode="clip")
 
     c = grab(0, 0)
     denom_x = grab(0, -1) - 2 * c + grab(0, 1)

@@ -130,16 +130,17 @@ class SlidingWindowEstimator:
         self.obs_depth = np.zeros((0,))        # per-keypoint depth prior
         self.obs_depth_sigma = np.zeros((0,))  # 0 => inactive
 
-        # IMU raw measurement buffer (host deque as growing arrays)
-        self.imu_t = np.zeros((0,))
-        self.imu_gyr = np.zeros((0, 3))
-        self.imu_acc = np.zeros((0, 3))
+        # IMU raw measurement buffer: amortised growable arrays + start
+        # offset (per-sample np.append is O(n²) over minutes-long runs)
+        cap0 = 4096
+        self._imu_buf = np.zeros((cap0, 7))  # [t, gyr(3), acc(3)]
+        self._imu_start = 0
+        self._imu_n = 0
         # trimmed samples archived for final-BA IMU re-propagation
         # (≙ doFinalBa's ImuError::redoPropagationAlways=true,
         # ViSlamBackend.cpp:2036 — needs the raw spans of archived frames)
-        self.arch_imu_t = np.zeros((0,))
-        self.arch_imu_gyr = np.zeros((0, 3))
-        self.arch_imu_acc = np.zeros((0, 3))
+        self._arch_imu_buf = np.zeros((cap0, 7))
+        self._arch_imu_n = 0
 
         # relative-pose (pose-graph / marginalisation) edges between frame ids
         self.rel_edges: List[dict] = []
@@ -149,14 +150,13 @@ class SlidingWindowEstimator:
         self.archive_frames: Dict[int, FrameState] = {}
         self.archive_edges: List[dict] = []
         # archived observations + landmark snapshots for the final BA
-        # (≙ doFinalBa re-expanding pose-graph edges back to observations)
-        self.arch_obs_fid = np.zeros((0,), np.int64)
-        self.arch_obs_cam = np.zeros((0,), np.int64)
-        self.arch_obs_lid = np.zeros((0,), np.int64)
-        self.arch_obs_uv = np.zeros((0, 2))
-        self.arch_obs_sigma = np.zeros((0,))
-        self.arch_obs_depth = np.zeros((0,))
-        self.arch_obs_depth_sigma = np.zeros((0,))
+        # (≙ doFinalBa re-expanding pose-graph edges back to observations).
+        # Amortised growable backing stores (per-frame np.append over the
+        # whole archive is O(n²) on minutes-long sequences); read through
+        # the arch_obs_* view properties below.
+        self._arch_obs_i = np.zeros((1024, 3), np.int64)  # fid, cam, lid
+        self._arch_obs_f = np.zeros((1024, 5))  # uv(2), sigma, d, d_sigma
+        self._arch_obs_n = 0
         self.arch_lm: Dict[int, np.ndarray] = {}
 
         # GNSS fusion state machine (≙ ViGraph gpsStatus_,
@@ -191,10 +191,46 @@ class SlidingWindowEstimator:
         self._jit_cache = {}
 
     # ------------------------------------------------------------------ imu
+    @property
+    def imu_t(self):
+        return self._imu_buf[self._imu_start:self._imu_n, 0]
+
+    @property
+    def imu_gyr(self):
+        return self._imu_buf[self._imu_start:self._imu_n, 1:4]
+
+    @property
+    def imu_acc(self):
+        return self._imu_buf[self._imu_start:self._imu_n, 4:7]
+
+    @property
+    def arch_imu_t(self):
+        return self._arch_imu_buf[:self._arch_imu_n, 0]
+
+    @property
+    def arch_imu_gyr(self):
+        return self._arch_imu_buf[:self._arch_imu_n, 1:4]
+
+    @property
+    def arch_imu_acc(self):
+        return self._arch_imu_buf[:self._arch_imu_n, 4:7]
+
     def add_imu_measurement(self, t: float, gyr, acc):
-        self.imu_t = np.append(self.imu_t, t)
-        self.imu_gyr = np.vstack([self.imu_gyr, np.asarray(gyr)[None]])
-        self.imu_acc = np.vstack([self.imu_acc, np.asarray(acc)[None]])
+        if self._imu_n == len(self._imu_buf):
+            # compact the trimmed prefix away, then double if still full
+            live = self._imu_buf[self._imu_start:self._imu_n]
+            cap = len(self._imu_buf)
+            if len(live) > cap // 2:
+                cap *= 2
+            buf = np.zeros((cap, 7))
+            buf[: len(live)] = live
+            self._imu_buf = buf
+            self._imu_n = len(live)
+            self._imu_start = 0
+        self._imu_buf[self._imu_n, 0] = t
+        self._imu_buf[self._imu_n, 1:4] = gyr
+        self._imu_buf[self._imu_n, 4:7] = acc
+        self._imu_n += 1
 
     def _imu_span(self, t0: float, t1: float):
         """Measurements covering [t0, t1] incl. one sample beyond each end."""
@@ -212,16 +248,16 @@ class SlidingWindowEstimator:
         if first > 0:
             # archive instead of dropping: the final BA re-propagates IMU
             # links over archived keyframe spans
-            self.arch_imu_t = np.append(self.arch_imu_t, self.imu_t[:first])
-            self.arch_imu_gyr = np.vstack(
-                [self.arch_imu_gyr, self.imu_gyr[:first]]
-            )
-            self.arch_imu_acc = np.vstack(
-                [self.arch_imu_acc, self.imu_acc[:first]]
-            )
-        self.imu_t = self.imu_t[first:]
-        self.imu_gyr = self.imu_gyr[first:]
-        self.imu_acc = self.imu_acc[first:]
+            rows = self._imu_buf[self._imu_start:self._imu_start + first]
+            need = self._arch_imu_n + first
+            if need > len(self._arch_imu_buf):
+                cap = max(need, 2 * len(self._arch_imu_buf))
+                buf = np.zeros((cap, 7))
+                buf[: self._arch_imu_n] = self._arch_imu_buf[: self._arch_imu_n]
+                self._arch_imu_buf = buf
+            self._arch_imu_buf[self._arch_imu_n:need] = rows
+            self._arch_imu_n = need
+            self._imu_start += first
 
     def _full_imu_arrays(self):
         """(t, gyr, acc) over archive + live buffers (time-ordered)."""
@@ -490,6 +526,37 @@ class SlidingWindowEstimator:
         )
         self.obs_depth = np.append(self.obs_depth, depth)
         self.obs_depth_sigma = np.append(self.obs_depth_sigma, depth_sigma)
+
+    def add_observations_batch(
+        self, fid: int, cam, lid, uv, sigma=None, depth=None,
+        depth_sigma=None,
+    ):
+        """Vectorised multi-observation add — one array reallocation instead
+        of one per observation (the per-frame hot path adds hundreds)."""
+        n = len(lid)
+        if n == 0:
+            return
+        uv = np.asarray(uv, np.float64).reshape(n, 2)
+        self.obs_fid = np.append(self.obs_fid, np.full(n, fid, np.int64))
+        self.obs_cam = np.append(
+            self.obs_cam, np.broadcast_to(np.asarray(cam, np.int64), (n,))
+        )
+        self.obs_lid = np.append(self.obs_lid, np.asarray(lid, np.int64))
+        self.obs_uv = np.vstack([self.obs_uv, uv])
+        self.obs_sigma = np.append(
+            self.obs_sigma,
+            np.full(n, self.cfg.keypoint_sigma_px) if sigma is None
+            else np.asarray(sigma, np.float64),
+        )
+        self.obs_depth = np.append(
+            self.obs_depth,
+            np.zeros(n) if depth is None else np.asarray(depth, np.float64),
+        )
+        self.obs_depth_sigma = np.append(
+            self.obs_depth_sigma,
+            np.zeros(n) if depth_sigma is None
+            else np.asarray(depth_sigma, np.float64),
+        )
 
     def set_keyframe(self, fid: int, is_kf: bool = True):
         self._frame_by_id(fid).is_keyframe = is_kf
@@ -1058,20 +1125,84 @@ class SlidingWindowEstimator:
         self.obs_depth = self.obs_depth[keep]
         self.obs_depth_sigma = self.obs_depth_sigma[keep]
 
+    # -- archived-observation views (backed by the growable stores) --------
+    @property
+    def arch_obs_fid(self):
+        return self._arch_obs_i[:self._arch_obs_n, 0]
+
+    @property
+    def arch_obs_cam(self):
+        return self._arch_obs_i[:self._arch_obs_n, 1]
+
+    @property
+    def arch_obs_lid(self):
+        return self._arch_obs_i[:self._arch_obs_n, 2]
+
+    @property
+    def arch_obs_uv(self):
+        return self._arch_obs_f[:self._arch_obs_n, 0:2]
+
+    @property
+    def arch_obs_sigma(self):
+        return self._arch_obs_f[:self._arch_obs_n, 2]
+
+    @property
+    def arch_obs_depth(self):
+        return self._arch_obs_f[:self._arch_obs_n, 3]
+
+    @property
+    def arch_obs_depth_sigma(self):
+        return self._arch_obs_f[:self._arch_obs_n, 4]
+
     def _archive_obs(self, mask: np.ndarray):
-        self.arch_obs_fid = np.append(self.arch_obs_fid, self.obs_fid[mask])
-        self.arch_obs_cam = np.append(self.arch_obs_cam, self.obs_cam[mask])
-        self.arch_obs_lid = np.append(self.arch_obs_lid, self.obs_lid[mask])
-        self.arch_obs_uv = np.vstack([self.arch_obs_uv, self.obs_uv[mask]])
-        self.arch_obs_sigma = np.append(
-            self.arch_obs_sigma, self.obs_sigma[mask]
-        )
-        self.arch_obs_depth = np.append(
-            self.arch_obs_depth, self.obs_depth[mask]
-        )
-        self.arch_obs_depth_sigma = np.append(
-            self.arch_obs_depth_sigma, self.obs_depth_sigma[mask]
-        )
+        k = int(mask.sum())
+        if k == 0:
+            return
+        need = self._arch_obs_n + k
+        if need > len(self._arch_obs_i):
+            cap = max(need, 2 * len(self._arch_obs_i))
+            bi = np.zeros((cap, 3), np.int64)
+            bf = np.zeros((cap, 5))
+            bi[: self._arch_obs_n] = self._arch_obs_i[: self._arch_obs_n]
+            bf[: self._arch_obs_n] = self._arch_obs_f[: self._arch_obs_n]
+            self._arch_obs_i, self._arch_obs_f = bi, bf
+        sl = slice(self._arch_obs_n, need)
+        self._arch_obs_i[sl, 0] = self.obs_fid[mask]
+        self._arch_obs_i[sl, 1] = self.obs_cam[mask]
+        self._arch_obs_i[sl, 2] = self.obs_lid[mask]
+        self._arch_obs_f[sl, 0:2] = self.obs_uv[mask]
+        self._arch_obs_f[sl, 2] = self.obs_sigma[mask]
+        self._arch_obs_f[sl, 3] = self.obs_depth[mask]
+        self._arch_obs_f[sl, 4] = self.obs_depth_sigma[mask]
+        self._arch_obs_n = need
+
+    def archive_observation(
+        self, fid: int, cam: int, lid: int, uv, sigma: float = 1.0,
+        depth: float = 0.0, depth_sigma: float = 0.0,
+    ):
+        """Append one row to the archived-observation store directly (map
+        import / tests; the runtime path archives in bulk via
+        `_archive_obs`)."""
+        if self._arch_obs_n == len(self._arch_obs_i):
+            cap = 2 * len(self._arch_obs_i)
+            bi = np.zeros((cap, 3), np.int64)
+            bf = np.zeros((cap, 5))
+            bi[: self._arch_obs_n] = self._arch_obs_i[: self._arch_obs_n]
+            bf[: self._arch_obs_n] = self._arch_obs_f[: self._arch_obs_n]
+            self._arch_obs_i, self._arch_obs_f = bi, bf
+        n = self._arch_obs_n
+        self._arch_obs_i[n] = (fid, cam, lid)
+        self._arch_obs_f[n, 0:2] = uv
+        self._arch_obs_f[n, 2:5] = (sigma, depth, depth_sigma)
+        self._arch_obs_n = n + 1
+
+    def _arch_obs_compact(self, keep: np.ndarray):
+        """Drop archived observation rows where ``keep`` is False."""
+        n = self._arch_obs_n
+        k = int(keep.sum())
+        self._arch_obs_i[:k] = self._arch_obs_i[:n][keep]
+        self._arch_obs_f[:k] = self._arch_obs_f[:n][keep]
+        self._arch_obs_n = k
 
     # ----------------------------------------------------- loop closure
     def pose_graph(self):
@@ -1162,13 +1293,7 @@ class SlidingWindowEstimator:
         if len(take):
             inv = np.ones(len(self.arch_obs_fid), bool)
             inv[take] = False
-            self.arch_obs_fid = self.arch_obs_fid[inv]
-            self.arch_obs_cam = self.arch_obs_cam[inv]
-            self.arch_obs_lid = self.arch_obs_lid[inv]
-            self.arch_obs_uv = self.arch_obs_uv[inv]
-            self.arch_obs_sigma = self.arch_obs_sigma[inv]
-            self.arch_obs_depth = self.arch_obs_depth[inv]
-            self.arch_obs_depth_sigma = self.arch_obs_depth_sigma[inv]
+            self._arch_obs_compact(inv)
         # the summarising two-pose edges double-count now — drop them
         drop = lambda e: e.get("marg") and fid in (e["i"], e["j"])
         self.rel_edges = [e for e in self.rel_edges if not drop(e)]
@@ -1238,9 +1363,8 @@ class SlidingWindowEstimator:
         self.obs_lid = np.where(
             self.obs_lid == lid_drop, lid_keep, self.obs_lid
         )
-        self.arch_obs_lid = np.where(
-            self.arch_obs_lid == lid_drop, lid_keep, self.arch_obs_lid
-        )
+        alid = self.arch_obs_lid  # writable view into the backing store
+        alid[alid == lid_drop] = lid_keep
         if lid_drop in self.lm_index:
             row = self.lm_index.pop(lid_drop)
             self.lm_ids.pop(row)

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from okvis2x_tpu.core import se3
+from okvis2x_tpu.core import se3, se3np
 import jax.numpy as jnp
 
 
@@ -41,10 +41,44 @@ def analytic_trajectory(t, g=9.81007):
     yaw = yaw_rate * t
     n = len(t)
     q = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
-    C_WS = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+    C_WS = se3np.quat_to_matrix(q)
     g_W = np.array([0, 0, -g])
     f_S = np.einsum("nji,nj->ni", C_WS, a - g_W)
     omega_S = np.einsum("nji,j->ni", C_WS, np.array([0, 0, yaw_rate]))
+    return p, q, v, omega_S, f_S
+
+
+def circuit_trajectory(t, g=9.81007, radius=8.0, speed=1.1,
+                       speed_mod=0.22, z_amp=0.25):
+    """Laps of a circle with tangent-following yaw — the reference-scale
+    loopy benchmark trajectory (every lap revisits every position and
+    heading, forcing loop closures).  Speed modulation + z bob keep
+    accelerometer biases observable.  Same contract as
+    ``analytic_trajectory``: (p_W, q_WS[xyzw], v_W, omega_S, f_S)."""
+    t = np.asarray(t)
+    w = speed / radius
+    wm = 2 * np.pi * 0.07
+    wz = 2 * np.pi * 0.11
+    th = w * t + speed_mod * np.sin(wm * t)
+    dth = w + speed_mod * wm * np.cos(wm * t)
+    ddth = -speed_mod * wm * wm * np.sin(wm * t)
+    c, s = np.cos(th), np.sin(th)
+    p = np.stack([radius * c, radius * s, z_amp * np.sin(wz * t)], -1)
+    v = np.stack(
+        [-radius * s * dth, radius * c * dth, z_amp * wz * np.cos(wz * t)], -1
+    )
+    a = np.stack(
+        [-radius * c * dth**2 - radius * s * ddth,
+         -radius * s * dth**2 + radius * c * ddth,
+         -z_amp * wz**2 * np.sin(wz * t)], -1,
+    )
+    yaw = th + np.pi / 2
+    n = len(t)
+    q = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
+    C_WS = se3np.quat_to_matrix(q)
+    g_W = np.array([0, 0, -g])
+    f_S = np.einsum("nji,nj->ni", C_WS, a - g_W)
+    omega_S = np.stack([np.zeros(n), np.zeros(n), dth], -1)
     return p, q, v, omega_S, f_S
 
 
@@ -59,32 +93,75 @@ def make_scene(n_points=600, seed=3):
     return pts, brightness, radius
 
 
-def render_image(cam, T_WC, pts, brightness, radius, noise=0.01, seed=0):
-    """Splat scene dots into an image (numpy; gaussian blobs + noise)."""
-    from okvis2x_tpu.cameras import pinhole
-
+def make_circuit_scene(radius=8.0, density=22.0, seed=3, z_lo=3.5, z_hi=6.5,
+                       half_width=4.5, satellites=True):
+    """Dot 'ceiling' above the circuit annulus.  Each primary dot carries
+    0-2 dimmer satellite dots at fixed 3-D offsets, breaking the rotational
+    symmetry of isolated blobs so binary descriptors are distinctive and
+    repeat exactly on revisit."""
     rng = np.random.default_rng(seed)
-    H, W = cam.height, cam.width
-    T_CW = se3.se3_inverse(jnp.asarray(T_WC))
-    p_C = np.asarray(se3.se3_apply(T_CW, jnp.asarray(pts)))
-    uv, valid = pinhole.project(cam, jnp.asarray(p_C))
-    uv = np.asarray(uv)
-    valid = np.asarray(valid) & (p_C[:, 2] > 0.3)
+    area = np.pi * ((radius + half_width) ** 2
+                    - max(radius - half_width, 0.0) ** 2)
+    n = int(area * density)
+    # rejection-free annulus sampling in polar coordinates (area-uniform)
+    r_lo2 = max(radius - half_width, 0.0) ** 2
+    r_hi2 = (radius + half_width) ** 2
+    rr = np.sqrt(rng.uniform(r_lo2, r_hi2, n))
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack(
+        [rr * np.cos(th), rr * np.sin(th), rng.uniform(z_lo, z_hi, n)], -1
+    )
+    brightness = rng.uniform(0.4, 1.0, n)
+    rad = rng.uniform(1.0, 2.0, n)
+    if satellites:
+        n_sat = rng.integers(0, 3, n)
+        reps = np.repeat(np.arange(n), n_sat)
+        if len(reps):
+            off = rng.uniform(-0.16, 0.16, (len(reps), 3))
+            off[:, 2] *= 0.3
+            spts = pts[reps] + off
+            sb = brightness[reps] * rng.uniform(0.35, 0.7, len(reps))
+            sr = rng.uniform(0.8, 1.3, len(reps))
+            pts = np.concatenate([pts, spts])
+            brightness = np.concatenate([brightness, sb])
+            rad = np.concatenate([rad, sr])
+    return pts, brightness, rad
+
+
+def render_image(cam, T_WC, pts, brightness, radius, noise=0.01, seed=0):
+    """Splat scene dots into an image (vectorised numpy; gaussian blobs +
+    noise).  Uses the numpy camera twin — no device round-trips, so long
+    reference-scale datasets render in minutes."""
+    from okvis2x_tpu.cameras import pinhole_np
+    from okvis2x_tpu.core import se3np
+
+    cam_np = cam if isinstance(cam, pinhole_np.NpCamera) else \
+        pinhole_np.to_numpy(cam)
+    rng = np.random.default_rng(seed)
+    H, W = cam_np.height, cam_np.width
+    T_CW = se3np.se3_inverse(np.asarray(T_WC, np.float64))
+    p_C = se3np.se3_apply(T_CW, np.asarray(pts, np.float64))
+    uv, valid = pinhole_np.project(cam_np, p_C)
+    valid = valid & (p_C[:, 2] > 0.3)
 
     img = rng.normal(0.12, noise, (H, W)).astype(np.float32)
     r = 4  # splat half-window
-    for i in np.nonzero(valid)[0]:
-        x, y = uv[i]
-        cx, cy = int(round(x)), int(round(y))
-        if not (r <= cx < W - r and r <= cy < H - r):
-            continue
-        ys = np.arange(cy - r, cy + r + 1)
-        xs = np.arange(cx - r, cx + r + 1)
-        gy = np.exp(-0.5 * ((ys - y) / (radius[i] * 0.8)) ** 2)
-        gx = np.exp(-0.5 * ((xs - x) / (radius[i] * 0.8)) ** 2)
-        img[cy - r : cy + r + 1, cx - r : cx + r + 1] += (
-            brightness[i] * np.outer(gy, gx)
-        ).astype(np.float32)
+    cx = np.round(uv[:, 0]).astype(np.int64)
+    cy = np.round(uv[:, 1]).astype(np.int64)
+    sel = np.nonzero(
+        valid & (cx >= r) & (cx < W - r) & (cy >= r) & (cy < H - r)
+    )[0]
+    if len(sel):
+        d = np.arange(-r, r + 1)
+        sig = (np.asarray(radius)[sel] * 0.8)[:, None]
+        ys = cy[sel, None] + d  # (n, 9)
+        xs = cx[sel, None] + d
+        gy = np.exp(-0.5 * ((ys - uv[sel, 1:2]) / sig) ** 2)
+        gx = np.exp(-0.5 * ((xs - uv[sel, 0:1]) / sig) ** 2)
+        patch = (np.asarray(brightness)[sel, None, None]
+                 * gy[:, :, None] * gx[:, None, :]).astype(np.float32)
+        flat = (ys[:, :, None] * W + xs[:, None, :]).ravel()
+        np.add.at(img.reshape(-1), flat, patch.ravel())
     return np.clip(img, 0.0, 1.0)
 
 
@@ -127,9 +204,17 @@ def generate(
     with_depth: bool = False,
     gps_rate: float = 5.0,
     gps_sigma: float = 0.05,
+    trajectory: str = "sinusoid",
+    fx: float = 280.0,
+    density: float = 22.0,
+    progress: bool = False,
 ):
     """Write a synthetic stereo-inertial dataset; returns (cam_cfg dict,
-    T_SC (2,7), ground truth array [t, p, q])."""
+    T_SC (2,7), ground truth array [t, p, q]).
+
+    trajectory="circuit" switches to the reference-scale loopy benchmark:
+    laps of an 8 m-radius circle under a dot ceiling (every lap revisits
+    every viewpoint → loop closures), sized via `density` dots/m²."""
     from okvis2x_tpu.cameras import pinhole
     from okvis2x_tpu.imu.preintegration import ImuParams
     from PIL import Image
@@ -137,10 +222,12 @@ def generate(
     imu = ImuParams()
     rng = np.random.default_rng(seed + 1)
     cam = pinhole.make_pinhole(
-        fx=280.0, fy=280.0, cx=width / 2, cy=height / 2,
+        fx=fx, fy=fx, cx=width / 2, cy=height / 2,
         width=width, height=height, model="radtan",
         dist_params=[-0.25, 0.06, 1e-4, -1e-4],
     )
+    traj = circuit_trajectory if trajectory == "circuit" else \
+        analytic_trajectory
     T_SC = np.array(
         [[-baseline / 2, 0, 0, 0, 0, 0, 1.0], [baseline / 2, 0, 0, 0, 0, 0, 1.0]]
     )
@@ -151,7 +238,7 @@ def generate(
 
     # IMU
     t_imu = np.arange(0.0, duration, 1.0 / imu_rate)
-    _, _, _, omega_S, f_S = analytic_trajectory(t_imu, imu.g)
+    _, _, _, omega_S, f_S = traj(t_imu, imu.g)
     if imu_noise:
         f_S = f_S + rng.normal(0, imu.sigma_a * np.sqrt(imu_rate), f_S.shape)
         omega_S = omega_S + rng.normal(0, imu.sigma_g * np.sqrt(imu_rate), omega_S.shape)
@@ -166,9 +253,16 @@ def generate(
             )
 
     # scene + frames
-    pts, bright, radius = make_scene(n_points, seed)
+    if trajectory == "circuit":
+        pts, bright, radius = make_circuit_scene(density=density, seed=seed)
+    else:
+        pts, bright, radius = make_scene(n_points, seed)
     t_frames = np.arange(0.3, duration, 1.0 / frame_rate)
-    p, q, v, _, _ = analytic_trajectory(t_frames, imu.g)
+    p, q, v, _, _ = traj(t_frames, imu.g)
+    from okvis2x_tpu.cameras import pinhole_np
+    from okvis2x_tpu.core import se3np
+
+    cam_np = pinhole_np.to_numpy(cam)
     for c in range(2):
         os.makedirs(os.path.join(root, f"cam{c}", "data"), exist_ok=True)
         with open(os.path.join(root, f"cam{c}", "data.csv"), "w") as f:
@@ -176,17 +270,19 @@ def generate(
             for i, t in enumerate(t_frames):
                 ns = t0_ns + int(round(t * 1e9))
                 T_WS = np.concatenate([p[i], q[i]])
-                T_WC = np.asarray(
-                    se3.se3_multiply(jnp.asarray(T_WS), jnp.asarray(T_SC[c]))
-                )
+                T_WC = se3np.se3_multiply(T_WS, T_SC[c])
                 img = render_image(
-                    cam, T_WC, pts, bright, radius, seed=i * 2 + c
+                    cam_np, T_WC, pts, bright, radius, seed=i * 2 + c
                 )
                 name = f"{ns}.png"
                 Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(root, f"cam{c}", "data", name)
+                    os.path.join(root, f"cam{c}", "data", name),
+                    compress_level=1,
                 )
                 f.write(f"{ns},{name}\n")
+                if progress and i % 200 == 0:
+                    print(f"  cam{c}: {i}/{len(t_frames)} frames rendered",
+                          flush=True)
 
     # optional cam0-registered depth stream (depth0/, 16-bit PNG millimetres
     # — the extended-EuRoC layout XDatasetReader consumes)
@@ -226,7 +322,7 @@ def generate(
         from okvis2x_tpu.io.xdataset import GNSS_LEAP_NS
 
         t_gps = np.arange(0.05, duration, 1.0 / gps_rate)
-        pg, qg, _, _, _ = analytic_trajectory(t_gps)
+        pg, qg, _, _, _ = traj(t_gps)
         yaw_g = 0.4
         Rg = np.array(
             [[np.cos(yaw_g), -np.sin(yaw_g), 0],
@@ -251,16 +347,10 @@ def generate(
         with open(os.path.join(root, "lidar0", "data.csv"), "w") as f:
             f.write("#timestamp [ns],x,y,z,intensity\n")
             for ts in t_sweep:
-                ps, qs, _, _, _ = analytic_trajectory(np.array([ts]))
+                ps, qs, _, _, _ = traj(np.array([ts]))
                 T_WS = np.concatenate([ps[0], qs[0]])
-                T_SW = se3.se3_inverse(jnp.asarray(T_WS))
-                import jax
-
-                p_S = np.asarray(
-                    jax.vmap(lambda pt: se3.se3_apply(T_SW, pt))(
-                        jnp.asarray(pts[:120])
-                    )
-                )
+                T_SW = se3np.se3_inverse(T_WS)
+                p_S = se3np.se3_apply(T_SW, pts[:120])
                 rngs = np.linalg.norm(p_S, axis=-1)
                 keep = rngs < 15.0
                 for k, pt_S in enumerate(p_S):

@@ -91,3 +91,42 @@ def best_matches_packed(packed_q, packed_d, max_dist=60, interpret=False):
     idx = jnp.argmin(D, axis=1)
     d = jnp.take_along_axis(D, idx[:, None], axis=1)[:, 0]
     return idx.astype(jnp.int32), d, d <= max_dist
+
+
+def _pad_rows(x, mult):
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist", "interpret"))
+def match_packed_mutual(
+    packed_q: jax.Array,  # (NQ, 12) uint32
+    valid_q: jax.Array,  # (NQ,) bool
+    packed_d: jax.Array,  # (ND, 12) uint32
+    valid_d: jax.Array,  # (ND,) bool
+    max_dist: float = 60.0,
+    interpret: bool = False,
+):
+    """Mutual best matching straight from packed descriptors (the
+    loop-closure database path, ≙ the multithreaded brisk Hamming loops of
+    Frontend.cpp:1745 matchToMapByThread): pads to kernel tile multiples,
+    runs the Pallas XOR+popcount kernel, and resolves mutual-consistent
+    pairs under the distance gate.  Returns (idx_d (NQ,), dist (NQ,),
+    valid (NQ,))."""
+    NQ, ND = packed_q.shape[0], packed_d.shape[0]
+    pq = _pad_rows(packed_q, 256)
+    pd = _pad_rows(packed_d, 512)
+    D = hamming_matrix_packed(pq, pd, interpret=interpret)[:NQ, :ND]
+    D = D.astype(jnp.float32)
+    BIG = jnp.float32(32 * WORDS + 1)
+    D = jnp.where(valid_d[None, :], D, BIG)
+    D = jnp.where(valid_q[:, None], D, BIG)
+    idx = jnp.argmin(D, axis=1)
+    d = jnp.take_along_axis(D, idx[:, None], axis=1)[:, 0]
+    back = jnp.argmin(D, axis=0)
+    mutual = back[idx] == jnp.arange(NQ)
+    ok = valid_q & mutual & (d <= max_dist)
+    return idx.astype(jnp.int32), d, ok

@@ -49,7 +49,11 @@ class PipelineConfig:
     stereo_max_dist: float = 60.0
     epipolar_px: float = 3.0
     chi2_px: float = 3.0  # outlier gate in sigma-normalised px
-    keyframe_match_fraction: float = 0.55
+    keyframe_match_fraction: float = 0.55  # legacy fraction heuristic
+    # keyframe decision: disc-coverage IoU threshold (≙ okvis2.yaml
+    # keyframe_overlap / Frontend keyframeInsertionOverlapThreshold_)
+    keyframe_overlap: float = 0.55
+    keyframe_use_overlap: bool = True
     min_triangulation_depth: float = 0.1
     max_triangulation_depth: float = 50.0
     # loop closure (≙ okvis2.yaml p_dbow / drift_percentage_heuristic +
@@ -57,6 +61,10 @@ class PipelineConfig:
     do_loop_closures: bool = True
     vocab_k: int = 256
     vocab_min_desc: int = 4000
+    # pretrained hierarchical vocabulary (≙ DBoW2 resources/small_voc.yml.gz
+    # loaded at Frontend.cpp:91): None => package default; "" => disable and
+    # fall back to online flat-vocab training
+    vocab_path: Optional[str] = None
     p_dbow: float = 0.4
     # RGB-D: per-keypoint depth priors from depth images
     # (≙ ceres::DepthErrorT wiring; sigma(d) = sigma0 + scale * d^2)
@@ -123,9 +131,22 @@ class VioPipeline:
         # loop-closure frames currently held in the window + merge counter
         self.lc_frames: List[int] = []
         self.n_landmarks_merged = 0
-        # loop closure state
+        # loop closure state: pretrained persisted vocabulary when available
+        # (no online-training cold start), else trained mid-session
         self.vocab = None
         self.bow_db = None
+        if cfg.do_loop_closures and cfg.vocab_path != "":
+            import os
+
+            from okvis2x_tpu.frontend import bow
+
+            path = cfg.vocab_path or os.path.join(
+                os.path.dirname(__file__), "..", "resources",
+                "vocab_b64l64.npz",
+            )
+            if os.path.exists(path):
+                self.vocab = bow.HierVocabulary.load(path)
+                self.bow_db = bow.BowDatabase(k=self.vocab.n_words)
         self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
         self.n_loop_closures = 0
         # multi-session: loaded components (each with its own BoW database,
@@ -268,6 +289,7 @@ class VioPipeline:
             md = np.asarray(dist)
             order = np.argsort(md)
             used_lm = set()
+            rows_k, rows_lid = [], []
             for k in order:
                 if not mv[k] or fd.lid[k] >= 0:
                     continue
@@ -277,8 +299,13 @@ class VioPipeline:
                 used_lm.add(lrow)
                 lid = int(lids[lrow])
                 fd.lid[k] = lid
-                est.add_observation(fid, c, lid, fd.uv[k])
-                n_matched += 1
+                rows_k.append(k)
+                rows_lid.append(lid)
+            if rows_k:
+                est.add_observations_batch(
+                    fid, c, rows_lid, fd.uv[np.asarray(rows_k)]
+                )
+                n_matched += len(rows_k)
         return n_matched
 
     def reject_outliers(self, fid: int):
@@ -412,6 +439,7 @@ class VioPipeline:
 
         created = 0
         used0 = set()
+        new_lid, new_i0, new_i1 = [], [], []
         for i1 in np.nonzero(okn)[0]:
             i0 = int(mi[i1])
             if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
@@ -423,9 +451,17 @@ class VioPipeline:
             self.lm_desc[lid] = fd0.packed[i0]
             fd0.lid[i0] = lid
             fd1.lid[i1] = lid
-            est.add_observation(fid, 0, lid, fd0.uv[i0])
-            est.add_observation(fid, 1, lid, fd1.uv[i1])
+            new_lid.append(lid)
+            new_i0.append(i0)
+            new_i1.append(i1)
             created += 1
+        if new_lid:
+            est.add_observations_batch(
+                fid, 0, new_lid, fd0.uv[np.asarray(new_i0)]
+            )
+            est.add_observations_batch(
+                fid, 1, new_lid, fd1.uv[np.asarray(new_i1)]
+            )
         return created
 
     def _motion_fn(self, cam_idx: int):
@@ -517,6 +553,7 @@ class VioPipeline:
             okn = np.asarray(ok)
             hp_W = np.asarray(hp_W)
             used_k = set()
+            new_lid, new_ic, new_ik = [], [], []
             for i_c in np.nonzero(okn)[0]:
                 i_k = int(mi[i_c])
                 if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
@@ -528,19 +565,96 @@ class VioPipeline:
                 self.lm_desc[lid] = kfd.packed[i_k]
                 fd.lid[i_c] = lid
                 kfd.lid[i_k] = lid
-                est.add_observation(self.last_kf_fid, c, lid, kfd.uv[i_k])
-                est.add_observation(fid, c, lid, fd.uv[i_c])
+                new_lid.append(lid)
+                new_ic.append(i_c)
+                new_ik.append(i_k)
                 created += 1
+            if new_lid:
+                est.add_observations_batch(
+                    self.last_kf_fid, c, new_lid, kfd.uv[np.asarray(new_ik)]
+                )
+                est.add_observations_batch(
+                    fid, c, new_lid, fd.uv[np.asarray(new_ic)]
+                )
         return created
 
+    @staticmethod
+    def _dilate_disc(m: np.ndarray, r: int) -> np.ndarray:
+        """Binary dilation with a disc structuring element via shifts."""
+        out = m.copy()
+        H, W = m.shape
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dx * dx + dy * dy > r * r or (dx == 0 and dy == 0):
+                    continue
+                src = m[
+                    max(0, -dy):H - max(0, dy), max(0, -dx):W - max(0, dx)
+                ]
+                out[
+                    max(0, dy):H - max(0, -dy), max(0, dx):W - max(0, -dx)
+                ] |= src
+        return out
+
+    def _coverage_masks(self, fd: FrameData, cam_np, sel_match: np.ndarray):
+        """Detection/match disc-coverage masks at 1/10 resolution
+        (≙ doWeNeedANewKeyframe's cv::circle rasterisation at
+        Frontend.cpp:1203-1228, kptrad=0.09)."""
+        h, w = max(cam_np.height // 10, 1), max(cam_np.width // 10, 1)
+        r = max(int(min(h, w) * 0.09), 1)
+        cx = np.clip((fd.uv[:, 0] * 0.1).astype(int), 0, w - 1)
+        cy = np.clip((fd.uv[:, 1] * 0.1).astype(int), 0, h - 1)
+        det = np.zeros((h, w), bool)
+        det[cy[fd.valid], cx[fd.valid]] = True
+        mat = np.zeros((h, w), bool)
+        sm = sel_match & fd.valid
+        mat[cy[sm], cx[sm]] = True
+        return self._dilate_disc(det, r), self._dilate_disc(mat, r)
+
     def need_keyframe(self, frame_data: List[FrameData]) -> bool:
-        """Stage 5 (≙ Frontend::doWeNeedANewKeyframe overlap heuristic):
-        keyframe when the matched fraction of valid keypoints drops."""
+        """Stage 5 (≙ Frontend::doWeNeedANewKeyframe, Frontend.cpp:1186):
+        disc-coverage IoU of matched vs detected keypoints, minimised with
+        the best shared-landmark coverage in any held keyframe — keyframe
+        when the overlap drops below `keyframe_overlap`.  Falls back to the
+        matched-fraction heuristic when disabled."""
         matched = sum(int((fd.lid >= 0).sum()) for fd in frame_data)
         total = sum(int(fd.valid.sum()) for fd in frame_data)
         if total == 0:
             return True
-        return matched / total < self.cfg.keyframe_match_fraction
+        if not self.cfg.keyframe_use_overlap:
+            return matched / total < self.cfg.keyframe_match_fraction
+        if len(self.est.frames) < 4:
+            return True  # just starting (≙ numFrames < 4)
+        if total < 7 * len(frame_data):
+            return False  # a respectable keyframe needs some detections
+        inter = union = 0
+        lm_ids = set()
+        for c, fd in enumerate(frame_data):
+            det, mat = self._coverage_masks(
+                fd, self.np_cameras[c], fd.lid >= 0
+            )
+            inter += int((det & mat).sum())
+            union += int((det | mat).sum())
+            lm_ids.update(fd.lid[fd.lid >= 0].tolist())
+        overlap = inter / max(union, 1)
+        # coverage of the shared landmarks in the other held keyframes
+        others = 0.0
+        kf_fids = [
+            f.fid for f in self.est.frames
+            if f.is_keyframe and f.fid in self.frames
+        ]
+        lm_arr = np.fromiter(lm_ids, np.int64, len(lm_ids))
+        for ofid in kf_fids:
+            o_inter = o_union = 0
+            for c, ofd in enumerate(self.frames[ofid]):
+                sel = np.isin(ofd.lid, lm_arr)
+                det, mat = self._coverage_masks(
+                    ofd, self.np_cameras[c], sel
+                )
+                o_inter += int((det & mat).sum())
+                o_union += int((det | mat).sum())
+            others = max(others, o_inter / max(o_union, 1))
+        overlap = min(overlap, others)
+        return overlap <= self.cfg.keyframe_overlap
 
     # --------------------------------------------------------- loop closure
     def _record_keyframe(self, fid: int, t: float, frame_data: List[FrameData]):
@@ -575,10 +689,10 @@ class VioPipeline:
             jnp.asarray(packs), jnp.ones(len(packs), bool)
         )
         self.vocab = bow.train_vocabulary(pm1, k=self.cfg.vocab_k, iters=6)
-        self.bow_db = bow.BowDatabase(k=self.cfg.vocab_k)
+        self.bow_db = bow.BowDatabase(k=bow.n_words(self.vocab))
         for fid, r in self.kf_records.items():
             w = np.asarray(
-                bow.assign_words(
+                bow.assign(
                     descriptor.unpack_pm1(
                         jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
                     ),
@@ -599,7 +713,7 @@ class VioPipeline:
             return False
         rec = self.kf_records[fid]
         words = np.asarray(
-            bow.assign_words(
+            bow.assign(
                 descriptor.unpack_pm1(
                     jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
                 ),
@@ -698,17 +812,25 @@ class VioPipeline:
         from okvis2x_tpu.frontend import ransac
 
         cfg = self.cfg
-        pm1_cur = descriptor.unpack_pm1(
-            jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
+        # packed-descriptor Pallas kernel (ops/hamming_pallas.py): the
+        # database side stays bit-packed — 16x less HBM read than the ±1
+        # matmul path, which matters when verifying against stored keyframe
+        # records (≙ Frontend.cpp:1745 matchToMapByThread Hamming loops)
+        from okvis2x_tpu.ops import hamming_pallas
+
+        if not hasattr(self, "_pallas_interpret"):
+            d0 = jax.devices()[0]
+            self._pallas_interpret = "tpu" not in (
+                d0.platform + " " + d0.device_kind
+            ).lower()
+        mi, mdist, mok = hamming_pallas.match_packed_mutual(
+            jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"]),
+            jnp.asarray(cand["packed"]), jnp.asarray(cand["valid"]),
+            max_dist=float(cfg.matching_threshold),
+            interpret=self._pallas_interpret,
         )
-        pm1_cand = descriptor.unpack_pm1(
-            jnp.asarray(cand["packed"]), jnp.asarray(cand["valid"])
-        )
-        m = matcher.match(
-            pm1_cur, pm1_cand, max_dist=cfg.matching_threshold, mutual=True
-        )
-        mv = np.asarray(m.valid)
-        mi = np.asarray(m.idx_b)
+        mv = np.asarray(mok)
+        mi = np.asarray(mi)
         # keep pairs whose candidate keypoint has a landmark snapshot
         has_lm = np.isfinite(cand["lm_pos"][:, 0])
         keep = np.nonzero(mv & has_lm[mi])[0]
@@ -778,11 +900,11 @@ class VioPipeline:
             self.vocab = bow.train_vocabulary(
                 pm1, k=self.cfg.vocab_k, iters=6
             )
-            self.bow_db = bow.BowDatabase(k=self.cfg.vocab_k)
-        comp_db = bow.BowDatabase(k=self.cfg.vocab_k)
+            self.bow_db = bow.BowDatabase(k=bow.n_words(self.vocab))
+        comp_db = bow.BowDatabase(k=bow.n_words(self.vocab))
         for cfid, r in records.items():
             w = np.asarray(
-                bow.assign_words(
+                bow.assign(
                     descriptor.unpack_pm1(
                         jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
                     ),
@@ -987,39 +1109,48 @@ class VioPipeline:
     def process_frame(
         self, t: float, images: List[np.ndarray], depth_images=None
     ):
+        from okvis2x_tpu.utils import timing
+
         est = self.est
         # dual-graph sync point: fold a finished background full-graph
         # optimisation into the realtime window before extending it
         self.synchronise_full_graph()
-        fid = est.add_state(t)
+        with timing.Timer("2.1 AddState"):
+            fid = est.add_state(t)
         f = est.get_state(fid)
 
-        frame_data = self.detect_and_describe(images, f.T_WS)
+        with timing.Timer("2.2 DetectDescribe"):
+            frame_data = self.detect_and_describe(images, f.T_WS)
         self.frames[fid] = frame_data
 
-        n_map = self.match_to_map(fid, frame_data)
+        with timing.Timer("2.3 MatchToMap"):
+            n_map = self.match_to_map(fid, frame_data)
         if n_map >= 8:
-            est.optimise(iterations=3, pose_only=True)
-            self.reject_outliers(fid)
+            with timing.Timer("2.4 PoseOptimise"):
+                est.optimise(iterations=3, pose_only=True)
+                self.reject_outliers(fid)
         quality = self._tracking_quality(frame_data)
 
         is_kf = self.need_keyframe(frame_data)
         est.set_keyframe(fid, is_kf)
 
-        n_stereo = self.stereo_initialize(fid, frame_data)
-        n_motion = self.motion_stereo(fid, frame_data)
+        with timing.Timer("2.5 StereoMotionInit"):
+            n_stereo = self.stereo_initialize(fid, frame_data)
+            n_motion = self.motion_stereo(fid, frame_data)
         if depth_images is not None:
             self.attach_depth_priors(fid, depth_images)
             n_stereo += self.depth_initialize(fid, frame_data, depth_images)
 
-        est.optimise()
+        with timing.Timer("2.6 Optimise"):
+            est.optimise()
         # post-solve chi2 pass: freshly triangulated landmarks can enter as
         # outliers (≙ Frontend::removeOutliers between the inline
         # optimisation stages, Frontend.cpp:2398); without this a burst of
         # bad stereo initialisations late in a sequence leaves too few LM
         # iterations to recover
-        if self.reject_outliers(fid) > 0:
-            est.optimise(iterations=2)
+        with timing.Timer("2.7 OutlierReoptimise"):
+            if self.reject_outliers(fid) > 0:
+                est.optimise(iterations=2)
         if est.cfg.do_extrinsics:
             # keep the pipeline's projection extrinsics in sync with the
             # online-calibrated estimate
@@ -1037,12 +1168,14 @@ class VioPipeline:
             )
         looped = False
         if is_kf and self.cfg.do_loop_closures:
-            self._record_keyframe(fid, t, frame_data)
-            looped = self._attempt_loop_closure(fid, t, frame_data)
-            if looped:
-                est.optimise()
+            with timing.Timer("2.8 LoopClosure"):
+                self._record_keyframe(fid, t, frame_data)
+                looped = self._attempt_loop_closure(fid, t, frame_data)
+                if looped:
+                    est.optimise()
 
-        est.marginalise()
+        with timing.Timer("2.9 Marginalise"):
+            est.marginalise()
         # drop per-frame data for dead frames
         live = {fr.fid for fr in est.frames}
         self.frames = {k: v for k, v in self.frames.items() if k in live}

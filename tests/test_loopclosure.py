@@ -149,15 +149,7 @@ def test_expand_merge_recovers_drift():
             lidsA.append(lid)
             uv, ok = project(T_true, pt)
             if ok:
-                est.arch_obs_fid = np.append(est.arch_obs_fid, 100)
-                est.arch_obs_cam = np.append(est.arch_obs_cam, 0)
-                est.arch_obs_lid = np.append(est.arch_obs_lid, lid)
-                est.arch_obs_uv = np.vstack([est.arch_obs_uv, uv[None]])
-                est.arch_obs_sigma = np.append(est.arch_obs_sigma, 1.0)
-                est.arch_obs_depth = np.append(est.arch_obs_depth, 1.0)
-                est.arch_obs_depth_sigma = np.append(
-                    est.arch_obs_depth_sigma, 0.0
-                )
+                est.archive_observation(100, 0, lid, uv, 1.0, 1.0, 0.0)
 
         # window frames B, C: constant drift, self-consistent duplicated map
         lidsB = {}

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Reference-scale SLAM benchmark.
+
+Generates (and caches under /tmp) a minutes-long loopy synthetic stereo-
+inertial dataset at the reference's EuRoC operating point — 752x480 stereo
+@ 20 Hz, 200 Hz IMU, ~700 keypoints/frame budget, a circuit trajectory
+revisiting every viewpoint once per lap (≥3 loop-closure opportunities) —
+then runs the full SLAM pipeline (loop closures + background full graph +
+final BA) end-to-end through the EuRoC reader, and reports:
+
+  * steady-state frames/s (wall-clock, compile warmup excluded)
+  * online ATE RMSE and final-BA ATE RMSE [m]
+  * loop-closure count
+
+Reference budgets from /root/reference/config/euroc/okvis2.yaml:74-99
+(700 keypoints, 5 keyframes / 3 IMU frames, 10 realtime iterations,
+20 Hz stereo => real-time means >= 20 frames/s).
+
+Usage: python tools/slam_bench.py [--duration 185] [--quick]
+"""
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def dataset_dir(params: dict) -> str:
+    key = hashlib.sha1(
+        json.dumps(params, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp", f"okvis2x_circuit_{key}")
+
+
+def ensure_dataset(params: dict, verbose: bool = True) -> str:
+    from okvis2x_tpu.io import synthetic
+
+    out = dataset_dir(params)
+    marker = os.path.join(out, "DONE.json")
+    if os.path.exists(marker):
+        return out
+    t0 = time.time()
+    if verbose:
+        print(f"generating circuit dataset -> {out}", file=sys.stderr)
+    synthetic.generate(out, **params, trajectory="circuit", progress=verbose)
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    if verbose:
+        print(f"generated in {time.time()-t0:.0f} s", file=sys.stderr)
+    return out
+
+
+def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
+        platform=None):
+    from okvis2x_tpu.utils import jaxconfig, timing
+
+    jaxconfig.setup()
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    from okvis2x_tpu.graph import EstimatorConfig
+    from okvis2x_tpu.io import euroc, trajectory_io
+    from okvis2x_tpu.pipeline.vio import PipelineConfig, VioPipeline
+
+    params = dict(
+        duration=float(duration), frame_rate=20.0, imu_rate=200.0,
+        width=752, height=480, fx=460.0, density=22.0, seed=3,
+    )
+    ds_dir = ensure_dataset(params, verbose)
+    ds = euroc.EurocDataset(ds_dir, num_cams=2)
+    gt = ds.ground_truth
+
+    est_cfg = EstimatorConfig(
+        cap_landmarks=1024, cap_obs=8192, max_iterations=10,
+    )
+    pipe_cfg = PipelineConfig(
+        max_keypoints=704,  # ≙ okvis2.yaml max_num_keypoints 700
+        do_loop_closures=True,
+        async_loop_closure=True,
+    )
+    cam = ds.camera if hasattr(ds, "camera") else None
+    # the synthetic dataset ships its intrinsics via sensor.yaml; EuRoC
+    # reader exposes them — else rebuild from the generator's defaults
+    from okvis2x_tpu.cameras import pinhole
+
+    cam = pinhole.make_pinhole(
+        fx=params["fx"], fy=params["fx"], cx=params["width"] / 2,
+        cy=params["height"] / 2, width=params["width"],
+        height=params["height"], model="radtan",
+        dist_params=[-0.25, 0.06, 1e-4, -1e-4],
+    )
+    baseline = 0.11
+    T_SC = np.array(
+        [[-baseline / 2, 0, 0, 0, 0, 0, 1.0],
+         [baseline / 2, 0, 0, 0, 0, 0, 1.0]]
+    )
+    vio = VioPipeline([cam, cam], T_SC, est_cfg, pipe_cfg)
+
+    n = 0
+    t_start = time.perf_counter()
+    t_steady = None
+    per_frame = []
+    for kind, data in ds.events():
+        if kind == "imu":
+            vio.add_imu_measurement(*data)
+            continue
+        if kind != "frames" or not data.paths[0]:
+            continue
+        images = [ds.load_image(p) for p in data.paths if p]
+        tf0 = time.perf_counter()
+        info = vio.process_frame(data.t, images)
+        tf1 = time.perf_counter()
+        n += 1
+        if n == warmup_frames:
+            t_steady = time.perf_counter()
+            n_steady0 = n
+        if n > warmup_frames:
+            per_frame.append(tf1 - tf0)
+        if verbose and n % 100 == 0:
+            el = time.perf_counter() - t_start
+            print(
+                f"frame {n}  wall={el:.0f}s kf={info['is_keyframe']} "
+                f"map={info['n_map']} loops={vio.n_loop_closures}",
+                file=sys.stderr, flush=True,
+            )
+        if max_frames and n >= max_frames:
+            break
+    vio.finish()
+    t_end = time.perf_counter()
+
+    ts = np.array([s[0] for s in vio.states_log])
+    Ts = np.stack([s[1] for s in vio.states_log])
+    ate_online = trajectory_io.ate_rmse(ts, Ts[:, :3], gt[:, 0], gt[:, 1:4])
+
+    t_fba0 = time.perf_counter()
+    vio.est.final_ba()
+    fts, fTs = vio.est.full_trajectory()
+    t_fba = time.perf_counter() - t_fba0
+    ate_final = trajectory_io.ate_rmse(fts, fTs[:, :3], gt[:, 0], gt[:, 1:4])
+
+    steady_s = (t_end - t_steady) if t_steady else (t_end - t_start)
+    n_steady = n - (n_steady0 if t_steady else 0)
+    fps = n_steady / steady_s if steady_s > 0 else 0.0
+    res = dict(
+        frames=n,
+        fps_steady=round(fps, 2),
+        ms_per_frame_p50=round(1e3 * float(np.median(per_frame)), 1)
+        if per_frame else None,
+        ms_per_frame_p90=round(
+            1e3 * float(np.percentile(per_frame, 90)), 1
+        ) if per_frame else None,
+        ate_online_m=round(float(ate_online), 4),
+        ate_final_m=round(float(ate_final), 4),
+        loop_closures=vio.n_loop_closures,
+        landmarks_merged=vio.n_landmarks_merged,
+        final_ba_s=round(t_fba, 1),
+        total_wall_s=round(t_end - t_start, 1),
+    )
+    if verbose:
+        print(timing.report(), file=sys.stderr)
+        print(json.dumps(res), file=sys.stderr)
+    return res
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=185.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--warmup", type=int, default=60)
+    ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    args = ap.parse_args()
+    res = run(
+        duration=args.duration, warmup_frames=args.warmup,
+        max_frames=args.max_frames, platform=args.platform,
+    )
+    print(json.dumps(res))
