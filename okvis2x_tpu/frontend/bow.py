@@ -162,6 +162,33 @@ def assign(pm1: jax.Array, vocab) -> jax.Array:
     return assign_words(pm1, vocab)
 
 
+@jax.jit
+def _assign_packed_hier(packed, valid, branches, leaves, L):
+    from okvis2x_tpu.frontend.descriptor import unpack_pm1
+
+    return _assign_hier(unpack_pm1(packed, valid), branches, leaves, L)
+
+
+@jax.jit
+def _assign_packed_flat(packed, valid, vocab):
+    from okvis2x_tpu.frontend.descriptor import unpack_pm1
+
+    return assign_words(unpack_pm1(packed, valid), vocab)
+
+
+def assign_packed(packed, valid, vocab) -> jax.Array:
+    """Unpack + word assignment fused into one device execution (the
+    loop-closure path calls this per keyframe record; eager unpacking cost
+    a handful of dispatches per call)."""
+    packed = jnp.asarray(packed)
+    valid = jnp.asarray(valid)
+    if isinstance(vocab, HierVocabulary):
+        return _assign_packed_hier(
+            packed, valid, vocab.branches, vocab.leaves, vocab.L
+        )
+    return _assign_packed_flat(packed, valid, vocab)
+
+
 def n_words(vocab) -> int:
     return vocab.n_words if isinstance(vocab, HierVocabulary) else \
         vocab.shape[0]

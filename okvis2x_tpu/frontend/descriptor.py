@@ -145,12 +145,11 @@ def _bilinear_mxu(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 def _smooth(img: jax.Array) -> jax.Array:
-    g = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype)
-    k = jnp.outer(g, g)
-    k = k / k.sum()
-    return jax.lax.conv_general_dilated(
-        img[None, None], k[None, None], (1, 1), "SAME"
-    )[0, 0]
+    # separable shift-and-add gaussian: single-channel lax.conv lowers
+    # poorly on TPU (see frontend/detector.py::_conv2)
+    from okvis2x_tpu.frontend.detector import _gauss5
+
+    return _gauss5(img)
 
 
 def extract(

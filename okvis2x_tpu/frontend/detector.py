@@ -34,33 +34,64 @@ class Keypoints(NamedTuple):
     valid: jax.Array  # (N,) bool
 
 
-def _conv2(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Same-padding 2D convolution of a (H, W) image."""
-    return jax.lax.conv_general_dilated(
-        img[None, None],
-        kernel[None, None].astype(img.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+import numpy as _np
+
+
+def _conv2(img: jax.Array, kernel) -> jax.Array:
+    """Same-padding 2D convolution of a (H, W) image by a SMALL STATIC
+    kernel, as shift-and-add: `lax.conv` of a single-channel image lowers
+    poorly on TPU (~50 ms/frame measured on the remote runtime), while
+    statically-weighted shifted adds are pure VPU elementwise work."""
+    k = _np.asarray(kernel, _np.float64)
+    kh, kw = k.shape
+    ph, pw = kh // 2, kw // 2
+    H, W = img.shape
+    p = jnp.pad(img, ((ph, ph), (pw, pw)))
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            w = float(k[dy, dx])  # lax.conv semantics = cross-correlation
+            if w == 0.0:
+                continue
+            term = p[dy:dy + H, dx:dx + W] * w
+            out = term if out is None else out + term
+    return out
+
+
+def _sep_conv(img: jax.Array, taps) -> jax.Array:
+    """Separable same-padding convolution (symmetric 1D taps)."""
+    taps = [float(t) for t in taps]
+    r = len(taps) // 2
+    H, W = img.shape
+    p = jnp.pad(img, ((0, 0), (r, r)))
+    out = None
+    for d, w in enumerate(taps):
+        term = p[:, d:d + W] * w
+        out = term if out is None else out + term
+    p = jnp.pad(out, ((r, r), (0, 0)))
+    out = None
+    for d, w in enumerate(taps):
+        term = p[d:d + H, :] * w
+        out = term if out is None else out + term
+    return out
 
 
 def _box3(img: jax.Array) -> jax.Array:
-    k = jnp.ones((3, 3), img.dtype) / 9.0
-    return _conv2(img, k)
+    return _sep_conv(img, [1 / 3] * 3)
+
+
+_G5 = (_np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0).tolist()
 
 
 def _gauss5(img: jax.Array) -> jax.Array:
-    g = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0])
-    k = jnp.outer(g, g)
-    return _conv2(img, (k / k.sum()))
+    return _sep_conv(img, _G5)
 
 
 def harris_response(img: jax.Array, k: float = 0.04) -> jax.Array:
     """Harris corner response (img float in [0,1], shape (H, W))."""
-    sx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
-    sy = sx.T
+    sx = _np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]) / 8.0
     ix = _conv2(img, sx)
-    iy = _conv2(img, sy)
+    iy = _conv2(img, sx.T)
     ixx = _gauss5(ix * ix)
     iyy = _gauss5(iy * iy)
     ixy = _gauss5(ix * iy)
@@ -70,10 +101,16 @@ def harris_response(img: jax.Array, k: float = 0.04) -> jax.Array:
 
 
 def _nms3(resp: jax.Array) -> jax.Array:
-    """Zero out non-maxima in each 3x3 neighbourhood."""
-    mx = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    """Zero out non-maxima in each 3x3 neighbourhood (shifted maxes —
+    same rationale as _conv2: elementwise beats windowed ops here)."""
+    H, W = resp.shape
+    p = jnp.pad(resp, 1, constant_values=-jnp.inf)
+    mx = resp
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            mx = jnp.maximum(mx, p[dy:dy + H, dx:dx + W])
     return jnp.where(resp >= mx, resp, jnp.zeros_like(resp))
 
 
@@ -138,18 +175,22 @@ def detect(
         inb = (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
         resp = jnp.where(inb, resp, 0.0)
 
-        # per-cell top-k for spatial uniformity
-        ch, cw = h // cell, w // cell
-        cells = resp[: ch * cell, : cw * cell].reshape(ch, cell, cw, cell)
-        cells = cells.transpose(0, 2, 1, 3).reshape(ch * cw, cell * cell)
-        vals, idx = jax.lax.top_k(cells, per_cell)  # (ncells, per_cell)
-        cy = idx // cell
-        cx = idx % cell
-        base_y = (jnp.arange(ch * cw, dtype=jnp.int32) // cw * cell)[:, None]
-        base_x = (jnp.arange(ch * cw, dtype=jnp.int32) % cw * cell)[:, None]
-        pys = (base_y + cy).reshape(-1)
-        pxs = (base_x + cx).reshape(-1)
-        scores = vals.reshape(-1)
+        # spatial uniformity: top-1 per fine cell (a reduce, not a sort —
+        # lax.top_k over all cell windows dominated the whole frontend on
+        # TPU).  Fine cells of cell/ceil(sqrt(per_cell)) keep roughly the
+        # same per-area keypoint budget as the old per-cell top-k.
+        cf = max(int(cell / max(np_ceil_sqrt(per_cell), 1)), 4)
+        ch, cw = h // cf, w // cf
+        cells = resp[: ch * cf, : cw * cf].reshape(ch, cf, cw, cf)
+        cells = cells.transpose(0, 2, 1, 3).reshape(ch * cw, cf * cf)
+        best = jnp.argmax(cells, axis=1)  # (ncells,)
+        scores = cells.max(axis=1)
+        cy = best // cf
+        cx = best % cf
+        base_y = jnp.arange(ch * cw, dtype=jnp.int32) // cw * cf
+        base_x = jnp.arange(ch * cw, dtype=jnp.int32) % cw * cf
+        pys = base_y + cy
+        pxs = base_x + cx
 
         dx, dy = _subpixel_offsets(resp, pys, pxs)
         scale = jnp.float32(1 << lvl)
@@ -170,8 +211,10 @@ def detect(
 
     n = min(max_keypoints, score.shape[0])
     top_scores, top_idx = jax.lax.top_k(score, n)
-    uv = uv[top_idx]
-    level = level[top_idx]
+    uv = jnp.stack(
+        [jnp.take(uv[:, 0], top_idx), jnp.take(uv[:, 1], top_idx)], -1
+    )
+    level = jnp.take(level, top_idx)
     valid = top_scores > threshold
     if n < max_keypoints:
         pad = max_keypoints - n
@@ -180,3 +223,9 @@ def detect(
         level = jnp.concatenate([level, jnp.zeros((pad,), jnp.int32)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     return Keypoints(uv=uv, score=top_scores, level=level, valid=valid)
+
+
+def np_ceil_sqrt(x: int) -> int:
+    import math
+
+    return int(math.ceil(math.sqrt(max(x, 1))))

@@ -138,6 +138,62 @@ def absolute_pose_p3p_refined(
     return RansacResult(T=T_WC, inliers=inl[best], num_inliers=scores[best])
 
 
+def absolute_pose_noncentral(
+    key: jax.Array,
+    rays_S: jax.Array,  # (N, 3) unit bearings in the BODY (sensor) frame
+    origins_S: jax.Array,  # (N, 3) per-ray camera centres in the body frame
+    pts_W: jax.Array,  # (N, 3) corresponding world points
+    mask: jax.Array,
+    depth_guess: jax.Array,  # (N,) rough depths along each ray
+    n_hyp: int = 512,
+    threshold_rad: float = 0.012,
+):
+    """Generalized (non-central) absolute pose RANSAC over a multi-camera
+    rig (≙ opengv's GP3P through the reference's
+    FrameNoncentralAbsoluteAdapter, okvis_frontend/include/okvis/
+    FrameNoncentralAbsoluteAdapter.hpp): rays carry per-camera origins, so
+    correspondences from every camera verify one body pose together.
+
+    Hypotheses: 3 correspondences (possibly from different cameras) place
+    points at origin + d*ray in the body frame; batched Kabsch aligns them
+    to the world points — generalized resection with guessed depths.
+    Scoring is angular about each ray's own origin (depth-free).
+
+    Callers pad to a fixed capacity with the VALID ROWS AS A PREFIX:
+    hypothesis sampling draws from the first sum(mask) rows only (sampling
+    over the padded capacity would waste most triples on zero rows)."""
+    n_eff = jnp.maximum(jnp.sum(mask), 3)
+    idx = _sample_indices(key, n_hyp, 3, n_eff)
+    r = rays_S[idx]  # (H, 3, 3)
+    o = origins_S[idx]
+    d = depth_guess[idx][..., None]
+    Ps = o + r * d  # (H, 3, 3) points in body frame
+    Pw = pts_W[idx]
+
+    cc = Ps.mean(axis=1, keepdims=True)
+    cw = Pw.mean(axis=1, keepdims=True)
+    H3 = jnp.einsum("hpi,hpj->hij", Ps - cc, Pw - cw)  # (H, 3, 3)
+    U, S, Vt = jnp.linalg.svd(H3)
+    det = jnp.linalg.det(jnp.einsum("hij,hjk->hik", U, Vt))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("hij,hj,hjk->hik", U, D, Vt)  # (H, 3, 3) S<-W
+    t = cc[:, 0] - jnp.einsum("hij,hj->hi", R, cw[:, 0])  # (H, 3)
+
+    # score: world points into body frame, angle about each ray's origin
+    ps = jnp.einsum("hij,nj->hni", R, pts_W) + t[:, None, :]
+    v = ps - origins_S[None, :, :]
+    depth = jnp.einsum("hni,ni->hn", v, rays_S)
+    vn = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.einsum("hni,ni->hn", vn, rays_S)
+    inl = (cosang > jnp.cos(threshold_rad)) & mask[None, :] & (depth > 0)
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    q_SW = se3.matrix_to_quat(R[best])
+    T_SW = jnp.concatenate([t[best], q_SW])
+    T_WS = se3.se3_inverse(T_SW)
+    return RansacResult(T=T_WS, inliers=inl[best], num_inliers=scores[best])
+
+
 def relative_rotation_2pt(
     key: jax.Array,
     rays_a: jax.Array,  # (N, 3) unit bearings frame A

@@ -309,24 +309,19 @@ class SlidingWindowEstimator:
 
         last = self.frames[-1]
         assert timestamp > last.timestamp, "states must be added in time order"
-        P = self._preintegrate_span(
-            last.timestamp, timestamp, last.sb[3:6], last.sb[6:9]
+        # host-side prediction (imu/preintegration_np.py): the per-frame
+        # propagation is microseconds of math; the device programs are
+        # reserved for the factor-grade batched preintegration
+        from okvis2x_tpu.imu import preintegration_np as pre_np
+
+        i0, i1 = self._imu_span(last.timestamp, timestamp)
+        T1, v1 = pre_np.predict_state(
+            cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
+            self.imu_acc[i0:i1], last.timestamp, timestamp,
+            last.T_WS, last.sb[0:3], last.sb[3:6], last.sb[6:9],
         )
-        if "prop_state" not in self._jit_cache:
-            self._jit_cache["prop_state"] = jax.jit(
-                lambda P_, T_, v_, bg_, ba_: pre.propagate_state(
-                    cfg.imu, P_, T_, v_, bg_, ba_
-                )
-            )
-        T1, v1 = self._jit_cache["prop_state"](
-            P,
-            jnp.asarray(last.T_WS),
-            jnp.asarray(last.sb[0:3]),
-            jnp.asarray(last.sb[3:6]),
-            jnp.asarray(last.sb[6:9]),
-        )
-        sb1 = np.concatenate([np.asarray(v1), last.sb[3:9]])
-        f = FrameState(self._next_fid, timestamp, np.asarray(T1), sb1)
+        sb1 = np.concatenate([v1, last.sb[3:9]])
+        f = FrameState(self._next_fid, timestamp, T1, sb1)
         self.frames.append(f)
         self._next_fid += 1
         return f.fid
@@ -374,13 +369,13 @@ class SlidingWindowEstimator:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _preintegrate_batch(self, spans, n_rows: int, S: int | None = None,
-                            imu_arrays=None):
-        """spans: list of (t0, t1, bg, ba); returns (Preintegrated batched
-        to n_rows, W (n_rows,15,15)) as device arrays, invalid rows padded
-        with identity.  `S` overrides the per-span sample capacity and
-        `imu_arrays` the measurement source (final BA passes the archived
-        + live buffers with a larger capacity)."""
+    def _span_buffers(self, spans, n_rows: int, S: int | None = None,
+                      imu_arrays=None):
+        """Numpy padded IMU-span buffers (t, gyr, acc, mask, t0, t1, bg,
+        ba, valid) for `n_rows` links — uploaded with the problem so the
+        batched preintegration FUSES into the solve program (one device
+        execution instead of two; the remote runtime charges ~20 ms per
+        execution)."""
         cfg = self.cfg
         S = S or cfg.cap_imu_samples
         if imu_arrays is None:
@@ -411,8 +406,17 @@ class SlidingWindowEstimator:
             t0B[r], t1B[r] = t0, t1
             bgB[r], baB[r] = bg, ba
             valid[r] = True
+        return (tB, gyrB, accB, maskB, t0B, t1B, bgB, baB, valid)
+
+    def _preintegrate_batch(self, spans, n_rows: int, S: int | None = None,
+                            imu_arrays=None):
+        """spans: list of (t0, t1, bg, ba); returns (Preintegrated batched
+        to n_rows, W (n_rows,15,15)) as device arrays, invalid rows padded
+        with identity.  `S` overrides the per-span sample capacity and
+        `imu_arrays` the measurement source (final BA passes the archived
+        + live buffers with a larger capacity)."""
         run = self._preintegrate_batch_fn()
-        return run(tB, gyrB, accB, maskB, t0B, t1B, bgB, baB, valid)
+        return run(*self._span_buffers(spans, n_rows, S, imu_arrays))
 
     def _preintegrate_span(self, t0, t1, bg, ba) -> pre.Preintegrated:
         cfg = self.cfg
@@ -580,9 +584,14 @@ class SlidingWindowEstimator:
 
         fid2slot = {f.fid: i for i, f in enumerate(self.frames)}
 
-        p = prb.empty_problem(K=K, L=L, C=C, N=Ncap, M=Mcap,
-                              R=cfg.cap_rel_edges, G=cfg.cap_gps,
-                              Q=cfg.cap_icp, dtype=dtype)
+        # cached immutable template: empty_problem creates ~50 device
+        # arrays; per-frame rebuilds only _replace the live fields
+        if "empty_p" not in self._jit_cache:
+            self._jit_cache["empty_p"] = prb.empty_problem(
+                K=K, L=L, C=C, N=Ncap, M=Mcap, R=cfg.cap_rel_edges,
+                G=cfg.cap_gps, Q=cfg.cap_icp, dtype=dtype,
+            )
+        p = self._jit_cache["empty_p"]
 
         T_WS = np.stack([f.T_WS for f in self.frames]) if nf else np.zeros((0, 7))
         sb = np.stack([f.sb for f in self.frames]) if nf else np.zeros((0, 9))
@@ -646,8 +655,9 @@ class SlidingWindowEstimator:
             imu_i[m] = ia
             imu_j[m] = ib
             imu_valid[m] = True
-        # ONE device program for all links (preintegration + whitening)
-        pre_batched, imu_sqrt_info = self._preintegrate_batch(spans, Mcap)
+        # raw span buffers: preintegration + whitening FUSE into the solve
+        # program (see _optimize_fn) — the problem ships the measurements
+        imu_bufs = self._span_buffers(spans, Mcap)
 
         # landmarks
         hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
@@ -725,11 +735,7 @@ class SlidingWindowEstimator:
                      hf.sb[6:9])
                 )
                 g += 1
-        gps_pre = p.gps_pre
-        if gps_pres:
-            gps_pre, _ = self._preintegrate_batch(
-                gps_pres, p.gps_frame.shape[0]
-            )
+        gps_bufs = self._span_buffers(gps_pres, Gcap) if Gcap else None
 
         # numpy leaves throughout: the jitted solver call transfers them in
         # one batch at dispatch — eager jnp.asarray here would pay ~40
@@ -744,7 +750,6 @@ class SlidingWindowEstimator:
             T_GW=cvt(self.T_GW),
             tgw_fixed=np.asarray(self.gps_status != "Initialised"),
             gps_frame=np.asarray(gps_frame),
-            gps_pre=gps_pre,
             gps_p_G=cvt(gps_p_G),
             gps_r_SA=cvt(self.gps_r_SA),
             gps_sqrt_info=cvt(gps_si),
@@ -785,8 +790,6 @@ class SlidingWindowEstimator:
             obs_depth_valid=obs_depth_valid,
             imu_i=imu_i,
             imu_j=imu_j,
-            imu_pre=pre_batched,
-            imu_sqrt_info=imu_sqrt_info,
             imu_valid=imu_valid,
             pose_prior_T=cvt(pose_prior_T),
             pose_prior_sqrt_info=cvt(pose_prior_si),
@@ -818,7 +821,7 @@ class SlidingWindowEstimator:
                     icp_valid=icp_valid,
                     icp_map=self.icp_map,
                 )
-        return p, fid2slot
+        return p, fid2slot, imu_bufs, gps_bufs
 
     def set_icp_map(self, sm, grid_cfg):
         """Register the active submap as the live ICP target (called after
@@ -849,9 +852,43 @@ class SlidingWindowEstimator:
                 # compile time dominates
                 unroll=(jax.default_backend() != "cpu"),
             )
-            self._jit_cache[key] = jax.jit(
-                lambda p, cams: gn.optimize(p, cams, cfg)
-            )
+            imu_params = self.cfg.imu
+            out_dtype = jax.dtypes.canonicalize_dtype(self.cfg.dtype)
+
+            def preint(bufs, whiten):
+                t, gyr, acc, mask, t0, t1, bg, ba, valid = bufs
+
+                def one(t_, g_, a_, m_, t0_, t1_, bg_, ba_):
+                    batch = pre.ImuBatch(t=t_, gyr=g_, acc=a_, mask=m_)
+                    return pre.preintegrate(
+                        imu_params, batch, t0_, t1_, bg_, ba_
+                    )
+
+                P = jax.vmap(one)(t, gyr, acc, mask, t0, t1, bg, ba)
+                W = None
+                if whiten:
+                    eye15 = jnp.eye(15, dtype=P.P.dtype)
+                    P_cov = jnp.where(valid[:, None, None], P.P, eye15[None])
+                    W = jax.vmap(imu_factor.sqrt_information)(P_cov)
+                    W = jnp.where(valid[:, None, None], W, eye15[None])
+                    W = W.astype(out_dtype)
+                P = jax.tree.map(
+                    lambda x: x.astype(out_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, P
+                )
+                return P, W
+
+            def fused(p, cams, imu_bufs, gps_bufs):
+                # batched preintegration + whitening fused with the LM
+                # solve: ONE device execution per optimise call
+                P, W = preint(imu_bufs, whiten=True)
+                p = p._replace(imu_pre=P, imu_sqrt_info=W)
+                if gps_bufs is not None:
+                    Pg, _ = preint(gps_bufs, whiten=False)
+                    p = p._replace(gps_pre=Pg)
+                return gn.optimize(p, cams, cfg)
+
+            self._jit_cache[key] = jax.jit(fused)
         return self._jit_cache[key]
 
     def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
@@ -859,13 +896,13 @@ class SlidingWindowEstimator:
         iters = iterations or self.cfg.max_iterations
         if self.frames:
             self._check_gps_dropout(self.frames[-1].timestamp)
-        p, fid2slot = self._build_problem()
+        p, fid2slot, imu_bufs, gps_bufs = self._build_problem()
         use_depth = bool(np.asarray(p.obs_depth_valid).any())
         use_icp = p.icp_map is not None
         run = self._optimize_fn(
             int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
         )
-        p_opt, cost = run(p, self.cams)
+        p_opt, cost = run(p, self.cams, imu_bufs, gps_bufs)
         T = np.asarray(p_opt.T_WS)
         sb = np.asarray(p_opt.sb)
         for f, slot in fid2slot.items():

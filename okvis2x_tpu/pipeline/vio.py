@@ -91,6 +91,11 @@ class PipelineConfig:
     quality_lost: float = 0.01
     quality_marginal: float = 0.3
     quality_grid: int = 8  # coverage measured over an NxN cell grid
+    # inline pose-only refinement between association and the window solve
+    # (≙ the reference's inline 2-iteration optimisations; disable to save
+    # one device execution per frame — the robust window solve + post-solve
+    # chi2 pass recover the same outliers)
+    pose_refine: bool = True
 
 
 class FrameData:
@@ -98,11 +103,14 @@ class FrameData:
 
     def __init__(self, uv, score, level, valid, packed, pm1):
         self.uv = uv  # (N,2) np
-        self.score = score
+        self.score = score  # unused on host (None in the fast path)
         self.level = level
         self.valid = valid
         self.packed = packed
-        self.pm1 = pm1  # device (N, 384) bf16
+        # device (C, N, 384) bf16 — the BATCHED descriptor array shared by
+        # all cameras of the frame; jitted consumers index their camera
+        # inside the program (an eager slice would dispatch on the device)
+        self.pm1 = pm1
         self.lid = np.full(uv.shape[0], -1, np.int64)  # landmark assignment
 
 
@@ -165,54 +173,86 @@ class VioPipeline:
 
     # ---------------------------------------------------------------- stages
     def _detect_fn(self, shape):
+        """ONE jitted program detecting + describing ALL cameras (leading
+        batch dim): the remote TPU runtime charges a fixed ~20 ms per
+        program execution, so the per-camera split cost 2x for nothing."""
         key = ("detect", shape)
         if key not in self._jit:
             cfg = self.cfg
 
             @jax.jit
-            def run(img, angle):
-                # `angle` must arrive as a jnp scalar: a python float would
-                # bake in as a compile-time constant and retrace every frame
-                kp = detector.detect(
-                    img,
-                    max_keypoints=cfg.max_keypoints,
-                    octaves=cfg.octaves,
-                    cell=cfg.detection_cell,
-                    per_cell=cfg.detection_per_cell,
-                    threshold=cfg.harris_threshold,
-                )
-                ang = jnp.full((cfg.max_keypoints,), jnp.float32(angle))
-                packed, pm1 = descriptor.extract(
-                    img, kp.uv, ang, kp.level, kp.valid
-                )
-                return kp, packed, pm1
+            def run(imgs, angles):
+                # `angles` must arrive as jnp values: python floats would
+                # bake in as compile-time constants and retrace every frame
+                def one(img, angle):
+                    kp = detector.detect(
+                        img,
+                        max_keypoints=cfg.max_keypoints,
+                        octaves=cfg.octaves,
+                        cell=cfg.detection_cell,
+                        per_cell=cfg.detection_per_cell,
+                        threshold=cfg.harris_threshold,
+                    )
+                    ang = jnp.full((cfg.max_keypoints,), angle)
+                    packed, pm1 = descriptor.extract(
+                        img, kp.uv, ang, kp.level, kp.valid
+                    )
+                    return kp, packed, pm1
+
+                return jax.vmap(one)(imgs, angles)
 
             self._jit[key] = run
         return self._jit[key]
 
+    @staticmethod
+    def _pad_width(img: np.ndarray) -> np.ndarray:
+        """Zero-pad image width to a multiple of 128 (TPU lane count).
+        Detector border masking (border=20 > pad of at most 127... the pad
+        region scores zero anyway since the padding is constant) keeps
+        keypoints out of the pad; descriptor samples there read zeros."""
+        w = img.shape[1]
+        pad = (-w) % 128
+        if pad == 0:
+            return img
+        # edge replication: constant-extension is corner-free, so no fake
+        # Harris responses appear along the pad seam
+        return np.pad(img, ((0, 0), (0, pad)), mode="edge")
+
     def detect_and_describe(self, images: List[np.ndarray], T_WS_pred: np.ndarray):
         """Stage 2; returns list of FrameData. Extraction direction from
-        projected gravity (≙ Frontend::detectAndDescribe gravity alignment)."""
-        out = []
-        for c, img in enumerate(images):
+        projected gravity (≙ Frontend::detectAndDescribe gravity alignment).
+
+        One batched device execution for all cameras; only uv/valid/packed
+        come back to the host (score/level stay device-side — no host
+        consumer), as one stacked transfer each."""
+        imgs = np.stack([self._pad_width(im) for im in images])
+        angles = []
+        for c in range(len(images)):
             # gravity direction in camera frame (host math: se3np)
             T_WC = se3np.se3_multiply(np.asarray(T_WS_pred), self.T_SC[c])
             C_CW = se3np.quat_to_matrix(T_WC[3:7]).T
             g_C = C_CW @ np.array([0.0, 0.0, -1.0])
-            ang = float(np.arctan2(g_C[1], g_C[0])) if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
-            run = self._detect_fn(img.shape)
-            kp, packed, pm1 = run(jnp.asarray(img), jnp.float32(ang))
-            out.append(
-                FrameData(
-                    uv=np.asarray(kp.uv),
-                    score=np.asarray(kp.score),
-                    level=np.asarray(kp.level),
-                    valid=np.asarray(kp.valid),
-                    packed=np.asarray(packed),
-                    pm1=pm1,
-                )
+            angles.append(
+                float(np.arctan2(g_C[1], g_C[0]))
+                if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
             )
-        return out
+        run = self._detect_fn(imgs.shape)
+        kp, packed, pm1 = run(
+            jnp.asarray(imgs), jnp.asarray(angles, jnp.float32)
+        )
+        uv = np.asarray(kp.uv)
+        valid = np.asarray(kp.valid)
+        packed_np = np.asarray(packed)
+        # every FrameData of this frame shares the BATCHED (C, N, 384)
+        # device array — consumers index it inside their own jitted
+        # programs (an eager [c] slice would dispatch a device program)
+        return [
+            FrameData(
+                uv=uv[c], score=None, level=None,
+                valid=valid[c], packed=packed_np[c], pm1=pm1,
+            )
+            for c in range(len(images))
+        ]
 
     def _project_landmarks(self, cam_idx: int, T_WS: np.ndarray, hp: np.ndarray):
         """Host-side landmark projection (outlier gating): pure numpy —
@@ -224,89 +264,368 @@ class VioPipeline:
         hp_C = se3np.se3_apply_homogeneous(T_CW, np.asarray(hp))
         return pinhole_np.project_homogeneous(self.np_cameras[cam_idx], hp_C)
 
-    def _match_map_fn(self, cam_idx: int):
-        """One fused jitted program per camera: project all (padded)
-        landmarks, gate by predicted-projection radius, Hamming-match on the
-        MXU, return best rows + distances."""
-        key = ("matchmap", cam_idx)
+    def _match_map_fn(self, n_cams: int):
+        """ONE fused jitted program for ALL cameras: project all (padded)
+        landmarks per camera, gate by predicted-projection radius,
+        Hamming-match on the MXU, return stacked best rows + distances."""
+        key = ("matchmap", n_cams)
         if key not in self._jit:
             cfg = self.cfg
-            cam = self.cameras[cam_idx]
-            T_SC_c = jnp.asarray(self.T_SC[cam_idx])
+            cams = self.cameras
+            T_SC_all = jnp.asarray(self.T_SC)
 
             @jax.jit
             def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_pm1, kp_valid):
                 # descriptor unpack fused in (keeps the host loop free of
                 # eager device ops)
                 lm_pm1 = descriptor.unpack_pm1(lm_packs, lm_valid)
-                T_CW = se3.se3_multiply(
-                    se3.se3_inverse(T_SC_c.astype(T_WS.dtype)),
-                    se3.se3_inverse(T_WS),
-                )
-                hp_C = jax.vmap(lambda h: se3.se3_apply_homogeneous(T_CW, h))(hp)
-                uv_pred, vis = pinhole.project_homogeneous(cam, hp_C)
-                d2 = ((kp_uv[:, None, :] - uv_pred[None, :, :]) ** 2).sum(-1)
-                allowed = (
-                    (d2 < cfg.match_radius_px**2)
-                    & (vis & lm_valid)[None, :]
-                    & kp_valid[:, None]
-                )
-                m = matcher.match_masked(
-                    kp_pm1, lm_pm1, allowed, max_dist=cfg.matching_threshold
-                )
-                return m.idx_b, m.dist, m.valid
+                outs = []
+                for c in range(n_cams):
+                    T_CW = se3.se3_multiply(
+                        se3.se3_inverse(T_SC_all[c].astype(T_WS.dtype)),
+                        se3.se3_inverse(T_WS),
+                    )
+                    hp_C = jax.vmap(
+                        lambda h: se3.se3_apply_homogeneous(T_CW, h)
+                    )(hp)
+                    uv_pred, vis = pinhole.project_homogeneous(cams[c], hp_C)
+                    d2 = (
+                        (kp_uv[c][:, None, :] - uv_pred[None, :, :]) ** 2
+                    ).sum(-1)
+                    allowed = (
+                        (d2 < cfg.match_radius_px**2)
+                        & (vis & lm_valid)[None, :]
+                        & kp_valid[c][:, None]
+                    )
+                    m = matcher.match_masked(
+                        kp_pm1[c], lm_pm1, allowed,
+                        max_dist=cfg.matching_threshold,
+                    )
+                    outs.append((m.idx_b, m.dist, m.valid))
+                return jax.tree.map(lambda *x: jnp.stack(x), *outs)
 
             self._jit[key] = run
         return self._jit[key]
 
-    def match_to_map(self, fid: int, frame_data: List[FrameData]):
-        """Stage 3 (≙ Frontend::matchToMap): gated Hamming matching of frame
-        keypoints against window landmarks; adds observations."""
+    def _associate_fn(self):
+        """THE per-frame data-association program: map matching for every
+        camera (with in-program per-landmark dedup), rig-stereo
+        initialisation and motion stereo vs the last keyframe — fused into
+        ONE device execution (the remote TPU runtime charges ~20 ms per
+        execution; the previous 4-program split paid that 4x).
+
+        ≙ Frontend::matchToMap + matchStereo + matchMotionStereo
+        (okvis_frontend/src/Frontend.cpp:674-1145) re-architected as a
+        single fixed-shape fused program."""
+        key = ("associate", self.num_cams)
+        if key not in self._jit:
+            cfg = self.cfg
+            C = self.num_cams
+            cams = self.cameras
+            Lcap = self.est.cfg.cap_landmarks
+            T_SC_all = jnp.asarray(self.T_SC)
+            if C >= 2:
+                cam0, cam1 = self.cameras[0], self.cameras[1]
+                T_C1C0 = se3np.se3_multiply(
+                    se3np.se3_inverse(self.T_SC[1]), self.T_SC[0]
+                )
+                T_C0C1 = se3np.se3_inverse(T_C1C0)
+                E = jnp.asarray(
+                    se3np.cross_matrix(T_C1C0[:3])
+                    @ se3np.quat_to_matrix(T_C1C0[3:7]), jnp.float32,
+                )
+                fpx = float(self.np_cameras[1].fxfycxcy[1])
+                p_B = jnp.asarray(T_C0C1[:3], jnp.float32)
+                R_C0C1 = jnp.asarray(
+                    se3np.quat_to_matrix(T_C0C1[3:7]), jnp.float32
+                )
+            T_SC0 = jnp.asarray(self.T_SC[0])
+
+            @jax.jit
+            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid, pm1,
+                    T_CkC, T_WCk, kf_uv, kf_un, kf_pm1, motion_on):
+                f32 = jnp.float32
+                N = kp_uv.shape[1]
+                lm_pm1 = descriptor.unpack_pm1(lm_packs, lm_valid)
+
+                # ---- map matching per camera, in-program landmark dedup
+                map_rows, map_ok, map_dist, assigned = [], [], [], []
+                for c in range(C):
+                    T_CW = se3.se3_multiply(
+                        se3.se3_inverse(T_SC_all[c].astype(T_WS.dtype)),
+                        se3.se3_inverse(T_WS),
+                    )
+                    hp_C = jax.vmap(
+                        lambda h: se3.se3_apply_homogeneous(T_CW, h)
+                    )(hp)
+                    uv_pred, vis = pinhole.project_homogeneous(cams[c], hp_C)
+                    d2 = (
+                        (kp_uv[c][:, None, :] - uv_pred[None, :, :]) ** 2
+                    ).sum(-1)
+                    allowed = (
+                        (d2 < cfg.match_radius_px**2)
+                        & (vis & lm_valid)[None, :]
+                        & kp_valid[c][:, None]
+                    )
+                    m = matcher.match_masked(
+                        pm1[c], lm_pm1, allowed,
+                        max_dist=cfg.matching_threshold,
+                    )
+                    # keep only the closest keypoint per landmark (unique
+                    # tie-break by keypoint index folded into the key)
+                    keyv = jnp.where(
+                        m.valid,
+                        m.dist * f32(N + 1) + jnp.arange(N, dtype=f32),
+                        jnp.inf,
+                    )
+                    best = jnp.full((Lcap,), jnp.inf, f32).at[m.idx_b].min(
+                        keyv
+                    )
+                    keep = m.valid & (keyv == best[m.idx_b])
+                    map_rows.append(m.idx_b)
+                    map_ok.append(keep)
+                    map_dist.append(m.dist)
+                    assigned.append(keep)
+
+                # ---- rig stereo initialisation (≙ matchStereo)
+                if C >= 2:
+                    un0 = kp_valid[0] & ~assigned[0]
+                    un1 = kp_valid[1] & ~assigned[1]
+                    r0, v0 = pinhole.back_project(
+                        cam0, kp_uv[0].astype(f32)
+                    )
+                    r1, v1 = pinhole.back_project(
+                        cam1, kp_uv[1].astype(f32)
+                    )
+                    lines = r0 @ E.T
+                    num = jnp.abs(r1 @ lines.T)
+                    denom = (
+                        jnp.linalg.norm(lines[:, :2], axis=1)[None, :] + 1e-12
+                    )
+                    epi_px = num / denom * fpx
+                    st_allowed = (
+                        (epi_px < cfg.epipolar_px * 3)
+                        & (v1 & un1)[:, None]
+                        & (v0 & un0)[None, :]
+                    )
+                    mst = matcher.match_masked(
+                        pm1[1], pm1[0], st_allowed,
+                        max_dist=cfg.stereo_max_dist,
+                    )
+                    x0 = r0[mst.idx_b]
+                    e_A = x0 / jnp.linalg.norm(x0, axis=-1, keepdims=True)
+                    eb = r1 @ R_C0C1.T
+                    e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
+                    tri = triangulation.triangulate(
+                        jnp.zeros((N, 3), f32), e_A,
+                        jnp.broadcast_to(p_B, (N, 3)), e_B,
+                    )
+                    hp_C0 = tri.hp_A
+                    depth = hp_C0[:, 2] / jnp.maximum(hp_C0[:, 3], 1e-12)
+                    st_ok = (
+                        mst.valid & tri.valid & ~tri.parallel
+                        & (depth > cfg.min_triangulation_depth)
+                        & (depth < cfg.max_triangulation_depth)
+                    )
+                    T_WC0 = se3.se3_multiply(T_WS, T_SC0.astype(T_WS.dtype))
+                    st_hp = jax.vmap(
+                        lambda h: se3.se3_apply_homogeneous(
+                            T_WC0, h.astype(T_WS.dtype)
+                        )
+                    )(hp_C0)
+                    st_idx = mst.idx_b
+                    stereo_assigned0 = (
+                        jnp.zeros((N,), bool).at[st_idx].max(st_ok)
+                    )
+                else:
+                    st_idx = jnp.zeros((N,), jnp.int32)
+                    st_ok = jnp.zeros((N,), bool)
+                    st_hp = jnp.zeros((N, 4), T_WS.dtype)
+                    stereo_assigned0 = jnp.zeros((N,), bool)
+                    r0, v0 = pinhole.back_project(
+                        cams[0], kp_uv[0].astype(f32)
+                    )
+
+                # ---- motion stereo vs last keyframe, cam0
+                # (≙ matchMotionStereo)
+                un_c = kp_valid[0] & ~assigned[0] & ~stereo_assigned0
+                r_c = r0
+                v_c = v0
+                r_k, v_k = pinhole.back_project(cams[0], kf_uv.astype(f32))
+                mo_allowed = (
+                    (un_c & v_c)[:, None] & (kf_un & v_k)[None, :]
+                    & motion_on
+                )
+                Dm = matcher.hamming_matrix(pm1[0], kf_pm1[0])
+                Dm = jnp.where(
+                    mo_allowed, Dm, jnp.float32(matcher.DESC_BITS)
+                )
+                mo_idx = jnp.argmin(Dm, axis=1)
+                d1 = jnp.take_along_axis(Dm, mo_idx[:, None], axis=1)[:, 0]
+                mo_val = d1 <= cfg.stereo_max_dist
+                back = jnp.argmin(Dm, axis=0)
+                mo_val = mo_val & (back[mo_idx] == jnp.arange(N))
+                R_k = se3.quat_to_matrix(se3.se3_q(T_CkC)).astype(f32)
+                p_Bk = se3.se3_t(T_CkC).astype(f32)
+                xk = r_k[mo_idx]
+                e_A = xk / jnp.linalg.norm(xk, axis=-1, keepdims=True)
+                eb = r_c @ R_k.T
+                e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
+                tri = triangulation.triangulate(
+                    jnp.zeros((N, 3), f32), e_A,
+                    jnp.broadcast_to(p_Bk, (N, 3)), e_B,
+                )
+                hp_Ck = tri.hp_A
+                depth = hp_Ck[:, 2] / jnp.maximum(hp_Ck[:, 3], 1e-12)
+                mo_ok = (
+                    mo_val & tri.valid & ~tri.parallel
+                    & (depth > cfg.min_triangulation_depth)
+                    & (depth < cfg.max_triangulation_depth)
+                )
+                mo_hp = jax.vmap(
+                    lambda h: se3.se3_apply_homogeneous(
+                        T_WCk, h.astype(T_WCk.dtype)
+                    )
+                )(hp_Ck)
+                return (
+                    jnp.stack(map_rows), jnp.stack(map_ok),
+                    jnp.stack(map_dist), st_idx, st_ok, st_hp,
+                    mo_idx, mo_ok, mo_hp,
+                )
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def associate(self, fid: int, frame_data: List[FrameData]):
+        """Stages 3+6 in one device round trip; returns
+        (n_map, n_stereo, n_motion) and updates the estimator tables."""
         est = self.est
         cfg = self.cfg
         nl = len(est.lm_ids)
-        if nl == 0:
-            return 0
-        # padded landmark tables (fixed shapes -> one compiled program)
         Lcap = est.cfg.cap_landmarks
-        lids = np.array(est.lm_ids)
+        lids = np.array(est.lm_ids, np.int64)
         hp = np.tile(np.array([0, 0, 0, 1.0]), (Lcap, 1))
-        hp[:nl] = est.hp_W
         packs = np.zeros((Lcap, 12), np.uint32)
-        packs[:nl] = np.stack([self.lm_desc[l] for l in lids])
         lm_valid = np.zeros(Lcap, bool)
-        lm_valid[:nl] = True
-        T_WS = est.get_state(fid).T_WS
-        n_matched = 0
+        if nl:
+            hp[:nl] = est.hp_W
+            packs[:nl] = np.stack([self.lm_desc[l] for l in lids])
+            lm_valid[:nl] = True
+        f = est.get_state(fid)
+        N = cfg.max_keypoints
+
+        # motion-stereo inputs vs the last keyframe (zeros when absent)
+        kfd = None
+        if self.last_kf_fid is not None and self.last_kf_fid in self.frames:
+            try:
+                fk = est.get_state(self.last_kf_fid)
+                kfd = self.frames[self.last_kf_fid][0]
+            except KeyError:
+                kfd = None
+        if kfd is not None:
+            T_WCk = se3np.se3_multiply(fk.T_WS, self.T_SC[0])
+            T_WC = se3np.se3_multiply(f.T_WS, self.T_SC[0])
+            T_CkC = se3np.se3_multiply(se3np.se3_inverse(T_WCk), T_WC)
+            motion_on = bool(np.linalg.norm(T_CkC[:3]) >= 0.02)
+            kf_uv = kfd.uv
+            kf_un = (kfd.lid < 0) & kfd.valid
+            kf_pm1 = kfd.pm1
+        else:
+            T_WCk = np.array([0, 0, 0, 0, 0, 0, 1.0])
+            T_CkC = np.array([0, 0, 0, 0, 0, 0, 1.0])
+            motion_on = False
+            kf_uv = np.zeros((N, 2))
+            kf_un = np.zeros(N, bool)
+            kf_pm1 = frame_data[0].pm1  # placeholder, masked out
+        run = self._associate_fn()
+        (map_rows, map_ok, map_dist, st_idx, st_ok, st_hp,
+         mo_idx, mo_ok, mo_hp) = run(
+            f.T_WS, hp, lm_valid, packs,
+            jnp.asarray(np.stack([fd.uv for fd in frame_data])),
+            jnp.asarray(np.stack([fd.valid for fd in frame_data])),
+            frame_data[0].pm1,
+            jnp.asarray(T_CkC), jnp.asarray(T_WCk),
+            jnp.asarray(kf_uv), jnp.asarray(kf_un), kf_pm1,
+            jnp.asarray(motion_on),
+        )
+        map_rows = np.asarray(map_rows)
+        map_ok = np.asarray(map_ok)
+        st_idx = np.asarray(st_idx)
+        st_ok = np.asarray(st_ok)
+        st_hp = np.asarray(st_hp)
+        mo_idx = np.asarray(mo_idx)
+        mo_ok = np.asarray(mo_ok)
+        mo_hp = np.asarray(mo_hp)
+
+        # ---- consume map matches (deduped in-program)
+        n_map = 0
         for c, fd in enumerate(frame_data):
-            run = self._match_map_fn(c)
-            idx_b, dist, mvalid = run(
-                T_WS, hp, lm_valid, packs, fd.uv, fd.pm1, fd.valid,
-            )
-            mv = np.asarray(mvalid)
-            mi = np.asarray(idx_b)
-            # one observation per landmark per camera: resolve dups by distance
-            md = np.asarray(dist)
-            order = np.argsort(md)
-            used_lm = set()
-            rows_k, rows_lid = [], []
-            for k in order:
-                if not mv[k] or fd.lid[k] >= 0:
+            ks = np.nonzero(map_ok[c])[0]
+            ks = ks[(map_rows[c][ks] < nl) & (fd.lid[ks] < 0)]
+            if len(ks) == 0:
+                continue
+            fd.lid[ks] = lids[map_rows[c][ks]]
+            est.add_observations_batch(fid, c, fd.lid[ks], fd.uv[ks])
+            n_map += len(ks)
+
+        # ---- consume stereo initialisations
+        n_stereo = 0
+        if self.num_cams >= 2:
+            fd0, fd1 = frame_data[0], frame_data[1]
+            used0 = set()
+            new_lid, new_i0, new_i1 = [], [], []
+            for i1 in np.nonzero(st_ok)[0]:
+                i0 = int(st_idx[i1])
+                if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
                     continue
-                lrow = int(mi[k])
-                if lrow in used_lm or lrow >= nl:
+                used0.add(i0)
+                lid = est.add_landmark(st_hp[i1])
+                if lid < 0:
                     continue
-                used_lm.add(lrow)
-                lid = int(lids[lrow])
-                fd.lid[k] = lid
-                rows_k.append(k)
-                rows_lid.append(lid)
-            if rows_k:
+                self.lm_desc[lid] = fd0.packed[i0]
+                fd0.lid[i0] = lid
+                fd1.lid[i1] = lid
+                new_lid.append(lid)
+                new_i0.append(i0)
+                new_i1.append(i1)
+                n_stereo += 1
+            if new_lid:
                 est.add_observations_batch(
-                    fid, c, rows_lid, fd.uv[np.asarray(rows_k)]
+                    fid, 0, new_lid, fd0.uv[np.asarray(new_i0)]
                 )
-                n_matched += len(rows_k)
-        return n_matched
+                est.add_observations_batch(
+                    fid, 1, new_lid, fd1.uv[np.asarray(new_i1)]
+                )
+
+        # ---- consume motion-stereo initialisations (cam0)
+        n_motion = 0
+        if kfd is not None and motion_on:
+            fd = frame_data[0]
+            used_k = set()
+            new_lid, new_ic, new_ik = [], [], []
+            for i_c in np.nonzero(mo_ok)[0]:
+                i_k = int(mo_idx[i_c])
+                if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
+                    continue
+                used_k.add(i_k)
+                lid = est.add_landmark(mo_hp[i_c])
+                if lid < 0:
+                    continue
+                self.lm_desc[lid] = kfd.packed[i_k]
+                fd.lid[i_c] = lid
+                kfd.lid[i_k] = lid
+                new_lid.append(lid)
+                new_ic.append(i_c)
+                new_ik.append(i_k)
+                n_motion += 1
+            if new_lid:
+                est.add_observations_batch(
+                    self.last_kf_fid, 0, new_lid, kfd.uv[np.asarray(new_ik)]
+                )
+                est.add_observations_batch(
+                    fid, 0, new_lid, fd.uv[np.asarray(new_ic)]
+                )
+        return n_map, n_stereo, n_motion
 
     def reject_outliers(self, fid: int):
         """Stage 4b (≙ Frontend::removeOutliers): drop observations of this
@@ -339,244 +658,6 @@ class VioPipeline:
             est.obs_depth = est.obs_depth[keep]
             est.obs_depth_sigma = est.obs_depth_sigma[keep]
         return len(bad)
-
-    def _stereo_fn(self):
-        """ONE fused jitted program for rig-stereo initialisation: back-
-        project both keypoint sets, epipolar-gate, Hamming-match on the MXU,
-        midpoint-triangulate every match, and transform to world — fixed
-        shapes (keypoint capacity), so it compiles once and dispatches once
-        per frame (the previous eager version issued ~100 device ops with
-        data-dependent shapes, recompiling every frame on TPU)."""
-        key = ("stereo",)
-        if key not in self._jit:
-            cfg = self.cfg
-            cam0, cam1 = self.cameras[0], self.cameras[1]
-            T_C1C0 = se3np.se3_multiply(
-                se3np.se3_inverse(self.T_SC[1]), self.T_SC[0]
-            )
-            T_C0C1 = se3np.se3_inverse(T_C1C0)
-            E_np = (
-                se3np.cross_matrix(T_C1C0[:3])
-                @ se3np.quat_to_matrix(T_C1C0[3:7])
-            )
-            E = jnp.asarray(E_np, jnp.float32)
-            fpx = float(self.np_cameras[1].fxfycxcy[1])
-            p_B = jnp.asarray(T_C0C1[:3], jnp.float32)
-            R_C0C1 = jnp.asarray(
-                se3np.quat_to_matrix(T_C0C1[3:7]), jnp.float32
-            )
-            T_SC0 = jnp.asarray(self.T_SC[0])
-
-            @jax.jit
-            def run(T_WS, uv0, pm1_0, un0, uv1, pm1_1, un1):
-                r0, v0 = pinhole.back_project(cam0, uv0.astype(jnp.float32))
-                r1, v1 = pinhole.back_project(cam1, uv1.astype(jnp.float32))
-                lines = r0 @ E.T  # (cap, 3) epipolar lines in cam1
-                num = jnp.abs(r1 @ lines.T)  # (cap1, cap0)
-                denom = (
-                    jnp.linalg.norm(lines[:, :2], axis=1)[None, :] + 1e-12
-                )
-                epi_px = num / denom * fpx
-                allowed = (
-                    (epi_px < cfg.epipolar_px * 3)
-                    & (v1 & un1)[:, None]
-                    & (v0 & un0)[None, :]
-                )
-                m = matcher.match_masked(
-                    pm1_1, pm1_0, allowed, max_dist=cfg.stereo_max_dist
-                )
-                x0 = r0[m.idx_b]
-                e_A = x0 / jnp.linalg.norm(x0, axis=-1, keepdims=True)
-                eb = r1 @ R_C0C1.T
-                e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
-                n = e_A.shape[0]
-                tri = triangulation.triangulate(
-                    jnp.zeros((n, 3), jnp.float32), e_A,
-                    jnp.broadcast_to(p_B, (n, 3)), e_B,
-                )
-                hp_C0 = tri.hp_A
-                depth = hp_C0[:, 2] / jnp.maximum(hp_C0[:, 3], 1e-12)
-                ok = (
-                    m.valid & tri.valid & ~tri.parallel
-                    & (depth > cfg.min_triangulation_depth)
-                    & (depth < cfg.max_triangulation_depth)
-                )
-                T_WC0 = se3.se3_multiply(
-                    T_WS, T_SC0.astype(T_WS.dtype)
-                )
-                hp_W = jax.vmap(
-                    lambda h: se3.se3_apply_homogeneous(
-                        T_WC0, h.astype(T_WS.dtype)
-                    )
-                )(hp_C0)
-                return m.idx_b, ok, hp_W
-
-            self._jit[key] = run
-        return self._jit[key]
-
-    def stereo_initialize(self, fid: int, frame_data: List[FrameData]):
-        """Stage 6 (≙ Frontend::matchStereo): match unassigned keypoints
-        between camera pairs, triangulate, create landmarks."""
-        if self.num_cams < 2:
-            return 0
-        est = self.est
-        f = est.get_state(fid)
-        fd0, fd1 = frame_data[0], frame_data[1]
-        un0 = (fd0.lid < 0) & fd0.valid
-        un1 = (fd1.lid < 0) & fd1.valid
-        if not un0.any() or not un1.any():
-            return 0
-
-        run = self._stereo_fn()
-        idx_b, ok, hp_W = run(
-            jnp.asarray(f.T_WS), jnp.asarray(fd0.uv), fd0.pm1,
-            jnp.asarray(un0), jnp.asarray(fd1.uv), fd1.pm1,
-            jnp.asarray(un1),
-        )
-        mi = np.asarray(idx_b)
-        okn = np.asarray(ok)
-        hpw = np.asarray(hp_W)
-
-        created = 0
-        used0 = set()
-        new_lid, new_i0, new_i1 = [], [], []
-        for i1 in np.nonzero(okn)[0]:
-            i0 = int(mi[i1])
-            if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
-                continue
-            used0.add(i0)
-            lid = est.add_landmark(hpw[i1])
-            if lid < 0:
-                continue
-            self.lm_desc[lid] = fd0.packed[i0]
-            fd0.lid[i0] = lid
-            fd1.lid[i1] = lid
-            new_lid.append(lid)
-            new_i0.append(i0)
-            new_i1.append(i1)
-            created += 1
-        if new_lid:
-            est.add_observations_batch(
-                fid, 0, new_lid, fd0.uv[np.asarray(new_i0)]
-            )
-            est.add_observations_batch(
-                fid, 1, new_lid, fd1.uv[np.asarray(new_i1)]
-            )
-        return created
-
-    def _motion_fn(self, cam_idx: int):
-        """ONE fused jitted program for motion stereo vs the last keyframe:
-        back-project both sets, mutual Hamming match restricted to the
-        unassigned masks, triangulate in the keyframe camera frame,
-        transform to world.  Fixed keypoint-capacity shapes — compiles once."""
-        key = ("motion", cam_idx)
-        if key not in self._jit:
-            cfg = self.cfg
-            cam = self.cameras[cam_idx]
-
-            @jax.jit
-            def run(T_CkC, T_WCk, uv_c, pm1_c, un_c, uv_k, pm1_k, un_k):
-                f32 = jnp.float32
-                r_c, v_c = pinhole.back_project(cam, uv_c.astype(f32))
-                r_k, v_k = pinhole.back_project(cam, uv_k.astype(f32))
-                allowed = (un_c & v_c)[:, None] & (un_k & v_k)[None, :]
-                D = matcher.hamming_matrix(pm1_c, pm1_k)
-                D = jnp.where(allowed, D, jnp.float32(matcher.DESC_BITS))
-                idx = jnp.argmin(D, axis=1)
-                d1 = jnp.take_along_axis(D, idx[:, None], axis=1)[:, 0]
-                mv = d1 <= cfg.stereo_max_dist
-                back = jnp.argmin(D, axis=0)  # mutual consistency
-                mv = mv & (back[idx] == jnp.arange(D.shape[0]))
-
-                R_k = se3.quat_to_matrix(se3.se3_q(T_CkC)).astype(f32)
-                p_B = se3.se3_t(T_CkC).astype(f32)
-                xk = r_k[idx]
-                e_A = xk / jnp.linalg.norm(xk, axis=-1, keepdims=True)
-                eb = r_c @ R_k.T
-                e_B = eb / jnp.linalg.norm(eb, axis=-1, keepdims=True)
-                n = e_A.shape[0]
-                tri = triangulation.triangulate(
-                    jnp.zeros((n, 3), f32), e_A,
-                    jnp.broadcast_to(p_B, (n, 3)), e_B,
-                )
-                hp_Ck = tri.hp_A
-                depth = hp_Ck[:, 2] / jnp.maximum(hp_Ck[:, 3], 1e-12)
-                ok = (
-                    mv & tri.valid & ~tri.parallel
-                    & (depth > cfg.min_triangulation_depth)
-                    & (depth < cfg.max_triangulation_depth)
-                )
-                hp_W = jax.vmap(
-                    lambda h: se3.se3_apply_homogeneous(
-                        T_WCk, h.astype(T_WCk.dtype)
-                    )
-                )(hp_Ck)
-                return idx, ok, hp_W
-
-            self._jit[key] = run
-        return self._jit[key]
-
-    def motion_stereo(self, fid: int, frame_data: List[FrameData]):
-        """Stage 6b (≙ Frontend::matchMotionStereo): match remaining
-        unassigned cam0 keypoints against the last keyframe's unassigned
-        keypoints and triangulate temporally."""
-        if self.last_kf_fid is None or self.last_kf_fid not in self.frames:
-            return 0
-        try:
-            fk = self.est.get_state(self.last_kf_fid)
-        except KeyError:
-            return 0
-        cfg = self.cfg
-        est = self.est
-        f = est.get_state(fid)
-        created = 0
-        for c in range(min(self.num_cams, 1)):  # cam0 only (cheap)
-            fd = frame_data[c]
-            kfd = self.frames[self.last_kf_fid][c]
-            un_c = (fd.lid < 0) & fd.valid
-            un_k = (kfd.lid < 0) & kfd.valid
-            if un_c.sum() < 8 or un_k.sum() < 8:
-                continue
-            # relative pose on host (numpy): skip when there is no baseline
-            T_WC = se3np.se3_multiply(f.T_WS, self.T_SC[c])
-            T_WCk = se3np.se3_multiply(fk.T_WS, self.T_SC[c])
-            T_CkC = se3np.se3_multiply(se3np.se3_inverse(T_WCk), T_WC)
-            if np.linalg.norm(T_CkC[:3]) < 0.02:  # no baseline yet
-                continue
-            run = self._motion_fn(c)
-            idx_b, ok, hp_W = run(
-                jnp.asarray(T_CkC), jnp.asarray(T_WCk),
-                jnp.asarray(fd.uv), fd.pm1, jnp.asarray(un_c),
-                jnp.asarray(kfd.uv), kfd.pm1, jnp.asarray(un_k),
-            )
-            mi = np.asarray(idx_b)
-            okn = np.asarray(ok)
-            hp_W = np.asarray(hp_W)
-            used_k = set()
-            new_lid, new_ic, new_ik = [], [], []
-            for i_c in np.nonzero(okn)[0]:
-                i_k = int(mi[i_c])
-                if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
-                    continue
-                used_k.add(i_k)
-                lid = est.add_landmark(hp_W[i_c])
-                if lid < 0:
-                    continue
-                self.lm_desc[lid] = kfd.packed[i_k]
-                fd.lid[i_c] = lid
-                kfd.lid[i_k] = lid
-                new_lid.append(lid)
-                new_ic.append(i_c)
-                new_ik.append(i_k)
-                created += 1
-            if new_lid:
-                est.add_observations_batch(
-                    self.last_kf_fid, c, new_lid, kfd.uv[np.asarray(new_ik)]
-                )
-                est.add_observations_batch(
-                    fid, c, new_lid, fd.uv[np.asarray(new_ic)]
-                )
-        return created
 
     @staticmethod
     def _dilate_disc(m: np.ndarray, r: int) -> np.ndarray:
@@ -657,9 +738,7 @@ class VioPipeline:
         return overlap <= self.cfg.keyframe_overlap
 
     # --------------------------------------------------------- loop closure
-    def _record_keyframe(self, fid: int, t: float, frame_data: List[FrameData]):
-        fd = frame_data[0]
-        sel = np.nonzero(fd.valid)[0]
+    def _lm_snapshot(self, fd: FrameData) -> np.ndarray:
         lm_pos = np.full((len(fd.uv), 3), np.nan)
         for k in np.nonzero(fd.lid >= 0)[0]:
             lid = fd.lid[k]
@@ -667,12 +746,27 @@ class VioPipeline:
                 hp = self.est.hp_W[self.est.lm_index[lid]]
                 if abs(hp[3]) > 1e-9:
                     lm_pos[k] = hp[:3] / hp[3]
-        self.kf_records[fid] = dict(
+        return lm_pos
+
+    def _record_keyframe(self, fid: int, t: float, frame_data: List[FrameData]):
+        fd = frame_data[0]
+        rec = dict(
             t=t, packed=fd.packed.copy(), valid=fd.valid.copy(),
-            uv=fd.uv.copy(), lm_pos=lm_pos, lid=fd.lid.copy(),
+            uv=fd.uv.copy(), lm_pos=self._lm_snapshot(fd), lid=fd.lid.copy(),
             T_WS=self.est.get_state(fid).T_WS.copy(),
             path=self.path_length,
         )
+        if len(frame_data) > 1:
+            # second camera: loop-closure verification runs the full rig
+            # through the non-central RANSAC (≙ the reference's
+            # FrameNoncentralAbsoluteAdapter over all cameras)
+            fd1 = frame_data[1]
+            rec.update(
+                packed1=fd1.packed.copy(), valid1=fd1.valid.copy(),
+                uv1=fd1.uv.copy(), lm_pos1=self._lm_snapshot(fd1),
+                lid1=fd1.lid.copy(),
+            )
+        self.kf_records[fid] = rec
 
     def _maybe_train_vocab(self):
         from okvis2x_tpu.frontend import bow
@@ -692,12 +786,7 @@ class VioPipeline:
         self.bow_db = bow.BowDatabase(k=bow.n_words(self.vocab))
         for fid, r in self.kf_records.items():
             w = np.asarray(
-                bow.assign(
-                    descriptor.unpack_pm1(
-                        jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
-                    ),
-                    self.vocab,
-                )
+                bow.assign_packed(r["packed"], r["valid"], self.vocab)
             )
             r["words"] = w
             self.bow_db.add(fid, w, r["valid"])
@@ -713,12 +802,7 @@ class VioPipeline:
             return False
         rec = self.kf_records[fid]
         words = np.asarray(
-            bow.assign(
-                descriptor.unpack_pm1(
-                    jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"])
-                ),
-                self.vocab,
-            )
+            bow.assign_packed(rec["packed"], rec["valid"], self.vocab)
         )
         rec["words"] = words
         exclude = {
@@ -790,12 +874,12 @@ class VioPipeline:
         along the RANSAC-inlier correspondences (≙ attemptLoopClosure ->
         mergeLandmarks, ViSlamBackend.cpp:2361-2556): the OLD landmark id
         survives, all observations of the new one re-point to it."""
-        cand_lid = cand.get("lid")
-        cur_lid = rec.get("lid")
-        if cand_lid is None or cur_lid is None:
-            return 0
         merged = 0
-        for k_cur, k_cand in pairs:
+        for c, k_cur, k_cand in pairs:
+            cand_lid = cand.get("lid" if c == 0 else f"lid{c}")
+            cur_lid = rec.get("lid" if c == 0 else f"lid{c}")
+            if cand_lid is None or cur_lid is None:
+                continue
             lo, ln = int(cand_lid[k_cand]), int(cur_lid[k_cur])
             if lo < 0 or ln < 0 or lo == ln:
                 continue
@@ -805,10 +889,12 @@ class VioPipeline:
         return merged
 
     def _geometric_verify(self, fid: int, rec: dict, cand: dict):
-        """Descriptor match + P3P RANSAC of the current keyframe against a
-        candidate record's landmark snapshot (≙ verifyRecognisedPlace,
-        Frontend.cpp:258-604).  Returns (T_WS in the candidate's world
-        frame, inlier count) or None."""
+        """Packed descriptor match (both cameras) + non-central RANSAC of
+        the current keyframe rig against a candidate record's landmark
+        snapshot (≙ verifyRecognisedPlace, Frontend.cpp:258-604, with
+        opengv GP3P through FrameNoncentralAbsoluteAdapter).  Returns
+        (T_WS in the candidate's world frame, inlier count, inlier
+        (cam, cur_kp, cand_kp) pairs) or None."""
         from okvis2x_tpu.frontend import ransac
 
         cfg = self.cfg
@@ -823,47 +909,76 @@ class VioPipeline:
             self._pallas_interpret = "tpu" not in (
                 d0.platform + " " + d0.device_kind
             ).lower()
-        mi, mdist, mok = hamming_pallas.match_packed_mutual(
-            jnp.asarray(rec["packed"]), jnp.asarray(rec["valid"]),
-            jnp.asarray(cand["packed"]), jnp.asarray(cand["valid"]),
-            max_dist=float(cfg.matching_threshold),
-            interpret=self._pallas_interpret,
-        )
-        mv = np.asarray(mok)
-        mi = np.asarray(mi)
-        # keep pairs whose candidate keypoint has a landmark snapshot
-        has_lm = np.isfinite(cand["lm_pos"][:, 0])
-        keep = np.nonzero(mv & has_lm[mi])[0]
-        if len(keep) < cfg.loop_min_inliers:
+        # per-camera packed matching; correspondences from every camera of
+        # the rig feed ONE non-central RANSAC (≙ opengv GP3P via
+        # FrameNoncentralAbsoluteAdapter over all cameras)
+        cam_keys = [(0, "packed", "valid", "uv", "lm_pos")]
+        if "packed1" in rec and "packed1" in cand:
+            cam_keys.append((1, "packed1", "valid1", "uv1", "lm_pos1"))
+        rays_l, orig_l, pts_l, pair_l = [], [], [], []
+        for c, pk, vk, uk, lk in cam_keys:
+            mi, _md, mok = hamming_pallas.match_packed_mutual(
+                jnp.asarray(rec[pk]), jnp.asarray(rec[vk]),
+                jnp.asarray(cand[pk]), jnp.asarray(cand[vk]),
+                max_dist=float(cfg.matching_threshold),
+                interpret=self._pallas_interpret,
+            )
+            mv = np.asarray(mok)
+            mi = np.asarray(mi)
+            has_lm = np.isfinite(cand[lk][:, 0])
+            keep = np.nonzero(mv & has_lm[mi])[0]
+            if len(keep) == 0:
+                continue
+            rays_C, ok = pinhole_np.back_project_unit(
+                self.np_cameras[c], rec[uk][keep]
+            )
+            keep, rays_C = keep[ok], rays_C[ok]
+            R_SC = se3np.quat_to_matrix(self.T_SC[c][3:7])
+            rays_l.append(rays_C @ R_SC.T)
+            orig_l.append(np.tile(self.T_SC[c][:3], (len(keep), 1)))
+            pts_l.append(cand[lk][mi[keep]])
+            pair_l.extend(
+                (c, int(kc), int(kd)) for kc, kd in zip(keep, mi[keep])
+            )
+        if not pair_l or len(pair_l) < cfg.loop_min_inliers:
             return None
-        cam = self.cameras[0]
-        rays, ok = pinhole.back_project(cam, jnp.asarray(rec["uv"][keep]))
-        rays = np.array(rays)
-        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
-        pts = cand["lm_pos"][mi[keep]]
-        okn = np.asarray(ok)
+        rays_S = np.concatenate(rays_l)
+        origins = np.concatenate(orig_l)
+        pts = np.concatenate(pts_l)
         depth_guess = np.linalg.norm(
             pts - self.est.get_state(fid).T_WS[:3], axis=-1
         )
-        res_r = ransac.absolute_pose_p3p_refined(
-            jax.random.PRNGKey(fid), jnp.asarray(rays), jnp.asarray(pts),
-            jnp.asarray(okn), jnp.asarray(depth_guess), n_hyp=512,
+        # fixed-capacity padded jit: one compiled RANSAC program
+        cap = 2 * cfg.max_keypoints
+        n = min(len(pts), cap)
+        pad = cap - n
+
+        def _p(a, fill=0.0):
+            return np.concatenate(
+                [a[:n], np.full((pad,) + a.shape[1:], fill, a.dtype)]
+            )
+
+        if "ransac_nc" not in self._jit:
+            self._jit["ransac_nc"] = jax.jit(
+                lambda k, r, o, p, m, d: ransac.absolute_pose_noncentral(
+                    k, r, o, p, m, d, n_hyp=512
+                )
+            )
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        res_r = self._jit["ransac_nc"](
+            jax.random.PRNGKey(fid), jnp.asarray(_p(rays_S)),
+            jnp.asarray(_p(origins)), jnp.asarray(_p(pts)),
+            jnp.asarray(mask), jnp.asarray(_p(depth_guess, 1.0)),
         )
         n_inl = int(res_r.num_inliers)
         if n_inl < cfg.loop_min_inliers:
             return None
-        # pose of cam0 -> T_WS in the candidate-epoch world frame
-        T_WC0 = np.asarray(res_r.T)
-        T_WS_est = np.asarray(
-            se3.se3_multiply(
-                jnp.asarray(T_WC0),
-                se3.se3_inverse(jnp.asarray(self.T_SC[0])),
-            )
-        )
-        # RANSAC-inlier correspondences (cur keypoint, cand keypoint) for
-        # landmark merging after an accepted loop closure
-        inl = np.asarray(res_r.inliers) & okn
-        pairs = list(zip(keep[inl].tolist(), mi[keep[inl]].tolist()))
+        T_WS_est = np.asarray(res_r.T)  # body pose, candidate-epoch world
+        # RANSAC-inlier correspondences (cam, cur kp, cand kp) for landmark
+        # merging after an accepted loop closure
+        inl = np.asarray(res_r.inliers)[:n]
+        pairs = [pair_l[i] for i in np.nonzero(inl)[0]]
         return T_WS_est, n_inl, pairs
 
     # ------------------------------------------------- multi-session maps
@@ -904,12 +1019,7 @@ class VioPipeline:
         comp_db = bow.BowDatabase(k=bow.n_words(self.vocab))
         for cfid, r in records.items():
             w = np.asarray(
-                bow.assign(
-                    descriptor.unpack_pm1(
-                        jnp.asarray(r["packed"]), jnp.asarray(r["valid"])
-                    ),
-                    self.vocab,
-                )
+                bow.assign_packed(r["packed"], r["valid"], self.vocab)
             )
             r["words"] = w
             comp_db.add(cfid, w, r["valid"])
@@ -1123,9 +1233,9 @@ class VioPipeline:
             frame_data = self.detect_and_describe(images, f.T_WS)
         self.frames[fid] = frame_data
 
-        with timing.Timer("2.3 MatchToMap"):
-            n_map = self.match_to_map(fid, frame_data)
-        if n_map >= 8:
+        with timing.Timer("2.3 Associate"):
+            n_map, n_stereo, n_motion = self.associate(fid, frame_data)
+        if n_map >= 8 and self.cfg.pose_refine:
             with timing.Timer("2.4 PoseOptimise"):
                 est.optimise(iterations=3, pose_only=True)
                 self.reject_outliers(fid)
@@ -1134,9 +1244,6 @@ class VioPipeline:
         is_kf = self.need_keyframe(frame_data)
         est.set_keyframe(fid, is_kf)
 
-        with timing.Timer("2.5 StereoMotionInit"):
-            n_stereo = self.stereo_initialize(fid, frame_data)
-            n_motion = self.motion_stereo(fid, frame_data)
         if depth_images is not None:
             self.attach_depth_priors(fid, depth_images)
             n_stereo += self.depth_initialize(fid, frame_data, depth_images)

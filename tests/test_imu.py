@@ -92,6 +92,32 @@ def test_propagation_matches_ground_truth():
     assert float(jnp.linalg.norm(se3.quat_log(dq))) < 1e-4
 
 
+def test_numpy_prediction_twin_matches_jax():
+    """Host predict_state (preintegration_np) == preintegrate+propagate."""
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+
+    batch, states = make_batch(0.0, 1.0)
+    bg = jnp.asarray([0.002, -0.001, 0.0005], F64)
+    ba = jnp.asarray([0.03, -0.02, 0.01], F64)
+    P = pre.preintegrate(PARAMS, batch, 0.0, 1.0, bg, ba)
+    T0, v0 = gt_state(states, 0)
+    T1_jax, v1_jax = pre.propagate_state(PARAMS, P, T0, v0, bg, ba)
+    t = np.asarray(batch.t)
+    m = np.asarray(batch.mask)
+    T1_np, v1_np = pre_np.predict_state(
+        PARAMS, t[m], np.asarray(batch.gyr)[m], np.asarray(batch.acc)[m],
+        0.0, 1.0, np.asarray(T0), np.asarray(v0), np.asarray(bg),
+        np.asarray(ba),
+    )
+    np.testing.assert_allclose(T1_np[:3], np.asarray(T1_jax)[:3], atol=1e-9)
+    np.testing.assert_allclose(v1_np, np.asarray(v1_jax), atol=1e-9)
+    dq = se3.quat_multiply(
+        se3.quat_conjugate(se3.se3_q(jnp.asarray(T1_np))),
+        se3.se3_q(T1_jax),
+    )
+    assert float(jnp.linalg.norm(se3.quat_log(dq))) < 1e-9
+
+
 def test_masked_padding_is_noop():
     batch, states = make_batch(0.0, 0.5)
     n = batch.t.shape[0]
