@@ -384,14 +384,18 @@ class SlidingWindowEstimator:
             t_arr, gyr_arr, acc_arr = imu_arrays
         m = len(spans)
         assert m <= n_rows
-        tB = np.zeros((n_rows, S))
-        gyrB = np.zeros((n_rows, S, 3))
-        accB = np.zeros((n_rows, S, 3))
+        # build at the canonical device dtype: f64 buffers double the
+        # per-solve upload for nothing when the device runs f32 (times are
+        # dataset-rebased, so f32 keeps microsecond resolution)
+        bdt = np.dtype(jax.dtypes.canonicalize_dtype(np.float64))
+        tB = np.zeros((n_rows, S), bdt)
+        gyrB = np.zeros((n_rows, S, 3), bdt)
+        accB = np.zeros((n_rows, S, 3), bdt)
         maskB = np.zeros((n_rows, S), bool)
-        t0B = np.zeros(n_rows)
-        t1B = np.ones(n_rows) * 1e-3
-        bgB = np.zeros((n_rows, 3))
-        baB = np.zeros((n_rows, 3))
+        t0B = np.zeros(n_rows, bdt)
+        t1B = np.ones(n_rows, bdt) * 1e-3
+        bgB = np.zeros((n_rows, 3), bdt)
+        baB = np.zeros((n_rows, 3), bdt)
         valid = np.zeros(n_rows, bool)
         for r, (t0, t1, bg, ba) in enumerate(spans):
             i0 = max(int(np.searchsorted(t_arr, t0, "right")) - 1, 0)
@@ -893,23 +897,29 @@ class SlidingWindowEstimator:
 
     def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
         """Run the window solver and write results back to host state."""
+        from okvis2x_tpu.utils import timing
+
         iters = iterations or self.cfg.max_iterations
         if self.frames:
             self._check_gps_dropout(self.frames[-1].timestamp)
-        p, fid2slot, imu_bufs, gps_bufs = self._build_problem()
+        with timing.Timer("3.1 BuildProblem"):
+            p, fid2slot, imu_bufs, gps_bufs = self._build_problem()
         use_depth = bool(np.asarray(p.obs_depth_valid).any())
         use_icp = p.icp_map is not None
         run = self._optimize_fn(
             int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
         )
-        p_opt, cost = run(p, self.cams, imu_bufs, gps_bufs)
-        T = np.asarray(p_opt.T_WS)
-        sb = np.asarray(p_opt.sb)
+        with timing.Timer("3.2 SolveDevice"):
+            p_opt, cost = run(p, self.cams, imu_bufs, gps_bufs)
+            cost = float(cost)
+        with timing.Timer("3.3 Readback"):
+            T = np.asarray(p_opt.T_WS)
+            sb = np.asarray(p_opt.sb)
+            hp = np.asarray(p_opt.hp_W)
         for f, slot in fid2slot.items():
             fr = self._frame_by_id(f)
             fr.T_WS = T[slot]
             fr.sb = sb[slot]
-        hp = np.asarray(p_opt.hp_W)
         nl = len(self.lm_ids)
         self.hp_W = hp[:nl]
         if self.cfg.do_extrinsics:

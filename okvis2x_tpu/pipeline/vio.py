@@ -182,6 +182,10 @@ class VioPipeline:
 
             @jax.jit
             def run(imgs, angles):
+                # uint8 upload (4x less H2D than f32 — the tunnel moves
+                # ~30 MB/s), normalised back to [0,1] on device
+                imgs = imgs.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
                 # `angles` must arrive as jnp values: python floats would
                 # bake in as compile-time constants and retrace every frame
                 def one(img, angle):
@@ -226,6 +230,8 @@ class VioPipeline:
         come back to the host (score/level stay device-side — no host
         consumer), as one stacked transfer each."""
         imgs = np.stack([self._pad_width(im) for im in images])
+        if imgs.dtype != np.uint8:
+            imgs = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
         angles = []
         for c in range(len(images)):
             # gravity direction in camera frame (host math: se3np)

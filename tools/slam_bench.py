@@ -85,6 +85,9 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
         max_keypoints=704,  # ≙ okvis2.yaml max_num_keypoints 700
         do_loop_closures=True,
         async_loop_closure=True,
+        # one device execution saved per frame; the robust window solve +
+        # post-solve chi2 pass recover the same outliers
+        pose_refine=False,
     )
     cam = ds.camera if hasattr(ds, "camera") else None
     # the synthetic dataset ships its intrinsics via sensor.yaml; EuRoC
