@@ -33,6 +33,7 @@ TPU where the scan is a single fused program.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional
 
 import jax
@@ -42,6 +43,7 @@ import numpy as np
 from okvis2x_tpu.core import se3, se3np
 from okvis2x_tpu.factors import imu_factor
 from okvis2x_tpu.imu import preintegration as pre
+from okvis2x_tpu.imu import preintegration_np as pre_np
 from okvis2x_tpu.solver import gauss_newton as gn
 from okvis2x_tpu.solver import problem as prb
 
@@ -55,6 +57,17 @@ class EstimatorConfig:
     cap_obs: int = 6144
     cap_imu_links: int = 11
     cap_imu_samples: int = 512
+    # chained-preintegration cache policy (≙ ImuError::redoPreintegration's
+    # lazy bias-deviation trigger, okvis_ceres/src/ImuError.cpp:258): a
+    # cached link is re-propagated from raw samples when the host-side bias
+    # estimate moved past these thresholds from its linearisation point —
+    # below them the factor's first-order bias correction is exact enough.
+    imu_bias_redo_g: float = 0.01  # [rad/s]
+    imu_bias_redo_a: float = 0.05  # [m/s^2]
+    # spans longer than this many raw samples are never re-scanned on a
+    # bias jump (first-order correction only — the O(n) host loop would
+    # stall the frame path); merged links keep their composed state.
+    imu_redo_max_samples: int = 4096
     cap_rel_edges: int = 16
     cap_gps: int = 8
     # per-point submap ICP rows in the window solve (≙ live SubmapIcpError
@@ -141,6 +154,16 @@ class SlidingWindowEstimator:
         # ViSlamBackend.cpp:2036 — needs the raw spans of archived frames)
         self._arch_imu_buf = np.zeros((cap0, 7))
         self._arch_imu_n = 0
+
+        # chained per-link preintegration cache: (fid_a, fid_b) ->
+        # (Preintegrated f64 numpy, sqrt_info (15,15) f64).  Links are
+        # created from short raw spans as frames arrive, COMPOSED when a
+        # chain frame is eliminated (≙ ImuError::append +
+        # eliminateImuFrames, ViSlamBackend.cpp:511), and lazily
+        # re-propagated on bias jumps — so a window link never re-scans an
+        # unbounded raw span (the round-2 fixed-capacity design crashed
+        # once keyframe links outgrew 512 samples).
+        self.imu_links: Dict[tuple, tuple] = {}
 
         # relative-pose (pose-graph / marginalisation) edges between frame ids
         self.rel_edges: List[dict] = []
@@ -312,8 +335,6 @@ class SlidingWindowEstimator:
         # host-side prediction (imu/preintegration_np.py): the per-frame
         # propagation is microseconds of math; the device programs are
         # reserved for the factor-grade batched preintegration
-        from okvis2x_tpu.imu import preintegration_np as pre_np
-
         i0, i1 = self._imu_span(last.timestamp, timestamp)
         T1, v1 = pre_np.predict_state(
             cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
@@ -325,19 +346,6 @@ class SlidingWindowEstimator:
         self.frames.append(f)
         self._next_fid += 1
         return f.fid
-
-    def _preintegrate_fn(self):
-        key = "preint"
-        if key not in self._jit_cache:
-            cfg = self.cfg
-
-            @jax.jit
-            def run(t, gyr, acc, mask, t0, t1, bg, ba):
-                batch = pre.ImuBatch(t=t, gyr=gyr, acc=acc, mask=mask)
-                return pre.preintegrate(cfg.imu, batch, t0, t1, bg, ba)
-
-            self._jit_cache[key] = run
-        return self._jit_cache[key]
 
     def _preintegrate_batch_fn(self):
         """ONE vmapped jitted program preintegrating every IMU link of the
@@ -401,11 +409,21 @@ class SlidingWindowEstimator:
             i0 = max(int(np.searchsorted(t_arr, t0, "right")) - 1, 0)
             i1 = min(int(np.searchsorted(t_arr, t1, "left")) + 1, len(t_arr))
             n = i1 - i0
-            assert n <= S, f"IMU span {n} exceeds capacity {S}"
+            if n > S:
+                # degrade, don't die: uniformly subsample the span to fit
+                # the buffer (coarser integration steps ≙ the reference's
+                # warn-and-cap behaviour rather than an assert)
+                logging.warning(
+                    "IMU span %d samples exceeds capacity %d — "
+                    "subsampling", n, S)
+                idx = np.unique(np.linspace(i0, i1 - 1, S).astype(int))
+                n = len(idx)
+            else:
+                idx = np.arange(i0, i1)
             tB[r] = t1 + 1.0
-            tB[r, :n] = t_arr[i0:i1]
-            gyrB[r, :n] = gyr_arr[i0:i1]
-            accB[r, :n] = acc_arr[i0:i1]
+            tB[r, :n] = t_arr[idx]
+            gyrB[r, :n] = gyr_arr[idx]
+            accB[r, :n] = acc_arr[idx]
             maskB[r, :n] = True
             t0B[r], t1B[r] = t0, t1
             bgB[r], baB[r] = bg, ba
@@ -422,27 +440,109 @@ class SlidingWindowEstimator:
         run = self._preintegrate_batch_fn()
         return run(*self._span_buffers(spans, n_rows, S, imu_arrays))
 
-    def _preintegrate_span(self, t0, t1, bg, ba) -> pre.Preintegrated:
+    # -------------------------------------------------- chained imu links
+    def _chain_frames(self) -> List[FrameState]:
+        """Frames on the live IMU chain (non-pose-graph), in time order."""
+        return [f for f in self.frames if not f.pose_graph_frame]
+
+    def _link_for(self, a: FrameState, b: FrameState):
+        """Cached chained preintegration + sqrt-info for chain link a->b.
+
+        Cache policy ≙ ImuError: constructed incrementally as frames
+        arrive, re-propagated from raw samples only when the bias moved
+        past the redo thresholds (okvis_ceres/src/ImuError.cpp:258) AND the
+        raw span is still short enough to re-scan; merged links otherwise
+        rely on the factor's first-order bias correction."""
         cfg = self.cfg
+        key = (a.fid, b.fid)
+        ent = self.imu_links.get(key)
+        bg, ba = a.sb[3:6], a.sb[6:9]
+        if ent is not None:
+            e = ent[0]
+            if (np.linalg.norm(bg - e.lin_bg) < cfg.imu_bias_redo_g
+                    and np.linalg.norm(ba - e.lin_ba) < cfg.imu_bias_redo_a):
+                return ent
+            i0, i1 = self._imu_span(a.timestamp, b.timestamp)
+            if i1 - i0 > cfg.imu_redo_max_samples or not self._imu_covers(
+                    i0, i1, a.timestamp, b.timestamp):
+                return ent  # keep composed state; first-order correction
+        ent = self._host_preintegrate_link(a.timestamp, b.timestamp, bg, ba)
+        self.imu_links[key] = ent
+        return ent
+
+    def _imu_covers(self, i0: int, i1: int, t0: float, t1: float) -> bool:
+        """True if live samples [i0, i1) actually bracket [t0, t1]."""
+        if i1 - i0 < 2:
+            return False
+        return (self.imu_t[i0] <= t0 + 1e-6
+                and self.imu_t[i1 - 1] >= t1 - 1e-6)
+
+    def _host_preintegrate_link(self, t0: float, t1: float, bg, ba):
+        """f64 host preintegration over the live raw buffer, with a weak
+        fallback when samples don't cover the span (component reload,
+        trimmed buffer): degrade to a near-uninformative factor instead of
+        dying — the reference warns and caps rather than asserting."""
         i0, i1 = self._imu_span(t0, t1)
-        n = i1 - i0
-        cap = cfg.cap_imu_samples
-        assert n <= cap, f"IMU span {n} exceeds capacity {cap}"
-        dt = np.float64
-        t = np.full((cap,), t1 + 1.0, dt)
-        gyr = np.zeros((cap, 3), dt)
-        acc = np.zeros((cap, 3), dt)
-        mask = np.zeros((cap,), bool)
-        t[:n] = self.imu_t[i0:i1]
-        gyr[:n] = self.imu_gyr[i0:i1]
-        acc[:n] = self.imu_acc[i0:i1]
-        mask[:n] = True
-        run = self._preintegrate_fn()
-        return run(
-            jnp.asarray(t), jnp.asarray(gyr), jnp.asarray(acc), jnp.asarray(mask),
-            jnp.asarray(float(t0)), jnp.asarray(float(t1)),
-            jnp.asarray(bg, dtype=dt), jnp.asarray(ba, dtype=dt),
+        e = pre_np.preintegrate_full(
+            self.cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
+            self.imu_acc[i0:i1], t0, t1, np.asarray(bg, float),
+            np.asarray(ba, float),
         )
+        span = max(t1 - t0, 1e-3)
+        if e.dt < 0.5 * span:
+            logging.warning(
+                "IMU link [%0.3f, %0.3f] covered %0.3fs of %0.3fs — "
+                "weak-factor fallback", t0, t1, e.dt, span)
+            e = e._replace(dt=span, P=np.eye(15) * 1e6)
+        W = pre_np.sqrt_information(e.P)
+        return (e, W)
+
+    def _merge_chain_link(self, mid_fid: int):
+        """Compose the two cached links around `mid_fid` before it leaves
+        the IMU chain (≙ eliminateImuFrames' ImuError::append merge,
+        ViSlamBackend.cpp:511), then drop links touching it."""
+        chain = self._chain_frames()
+        idx = next(
+            (i for i, f in enumerate(chain) if f.fid == mid_fid), None)
+        if idx is not None and 0 < idx < len(chain) - 1:
+            a, m, b = chain[idx - 1], chain[idx], chain[idx + 1]
+            ea, _ = self._link_for(a, m)
+            eb, _ = self._link_for(m, b)
+            merged = pre_np.compose(ea, eb)
+            self.imu_links[(a.fid, b.fid)] = (
+                merged, pre_np.sqrt_information(merged.P))
+        self.imu_links = {
+            k: v for k, v in self.imu_links.items() if mid_fid not in k
+        }
+
+    def _prune_imu_links(self):
+        chain_fids = {f.fid for f in self._chain_frames()}
+        self.imu_links = {
+            k: v for k, v in self.imu_links.items()
+            if k[0] in chain_fids and k[1] in chain_fids
+        }
+
+    @staticmethod
+    def _stack_links(entries, Mcap: int):
+        """Batch per-link (Preintegrated, W) into (Preintegrated[Mcap], W
+        (Mcap,15,15)) with identity-padded invalid rows."""
+        dq = np.tile(np.array([0.0, 0, 0, 1.0]), (Mcap, 1))
+        z3 = np.zeros((Mcap, 3))
+        z33 = np.zeros((Mcap, 3, 3))
+        P = np.tile(np.eye(15), (Mcap, 1, 1))
+        W = np.tile(np.eye(15), (Mcap, 1, 1))
+        dt = np.full(Mcap, 1e-3)
+        out = pre.Preintegrated(
+            dq=dq, dp=z3.copy(), dv=z3.copy(),
+            dp_dbg=z33.copy(), dp_dba=z33.copy(),
+            dv_dbg=z33.copy(), dv_dba=z33.copy(), dq_dbg=z33.copy(),
+            P=P, dt=dt, lin_bg=z3.copy(), lin_ba=z3.copy(),
+        )
+        for m, (e, w) in enumerate(entries):
+            for fld in pre.Preintegrated._fields:
+                getattr(out, fld)[m] = getattr(e, fld)
+            W[m] = w
+        return out, W
 
     # ------------------------------------------------------------------ gps
     def add_gps_measurement(self, t: float, pos_G, err):
@@ -642,26 +742,27 @@ class SlidingWindowEstimator:
         obs_depth_si[:n_obs] = np.where(has_d, 1.0 / np.maximum(dsig, 1e-12), 1.0)
         obs_depth_valid[:n_obs] = has_d
 
-        # imu links between consecutive IMU-chained frames (recomputed at
-        # the current bias; pose-graph frames are excluded — their kinematic
-        # information lives in the two-pose edges)
+        # imu links between consecutive IMU-chained frames, served from the
+        # chained-preintegration cache (pose-graph frames are excluded —
+        # their kinematic information lives in the two-pose edges).  The
+        # cached f64 deltas + sqrt-infos upload directly; the factor applies
+        # first-order bias correction around each link's linearisation
+        # point, so no raw-sample span ever re-scans inside the solve.
         chain = [
             i for i, f in enumerate(self.frames) if not f.pose_graph_frame
         ]
-        spans = []
         imu_i = np.zeros(Mcap, np.int32)
         imu_j = np.zeros(Mcap, np.int32)
         imu_valid = np.zeros(Mcap, bool)
+        link_rows = []
         for m, (ia, ib) in enumerate(zip(chain[:-1], chain[1:])):
             a, b = self.frames[ia], self.frames[ib]
             assert m < Mcap
-            spans.append((a.timestamp, b.timestamp, a.sb[3:6], a.sb[6:9]))
+            link_rows.append(self._link_for(a, b))
             imu_i[m] = ia
             imu_j[m] = ib
             imu_valid[m] = True
-        # raw span buffers: preintegration + whitening FUSE into the solve
-        # program (see _optimize_fn) — the problem ships the measurements
-        imu_bufs = self._span_buffers(spans, Mcap)
+        imu_pre_b, imu_W_b = self._stack_links(link_rows, Mcap)
 
         # landmarks
         hp = np.tile(np.array([0, 0, 0, 1.0]), (L, 1))
@@ -795,6 +896,8 @@ class SlidingWindowEstimator:
             imu_i=imu_i,
             imu_j=imu_j,
             imu_valid=imu_valid,
+            imu_pre=jax.tree.map(cvt, imu_pre_b),
+            imu_sqrt_info=cvt(imu_W_b),
             pose_prior_T=cvt(pose_prior_T),
             pose_prior_sqrt_info=cvt(pose_prior_si),
             pose_prior_valid=pose_prior_valid,
@@ -825,7 +928,7 @@ class SlidingWindowEstimator:
                     icp_valid=icp_valid,
                     icp_map=self.icp_map,
                 )
-        return p, fid2slot, imu_bufs, gps_bufs
+        return p, fid2slot, gps_bufs
 
     def set_icp_map(self, sm, grid_cfg):
         """Register the active submap as the live ICP target (called after
@@ -882,11 +985,11 @@ class SlidingWindowEstimator:
                 )
                 return P, W
 
-            def fused(p, cams, imu_bufs, gps_bufs):
-                # batched preintegration + whitening fused with the LM
-                # solve: ONE device execution per optimise call
-                P, W = preint(imu_bufs, whiten=True)
-                p = p._replace(imu_pre=P, imu_sqrt_info=W)
+            def fused(p, cams, gps_bufs):
+                # window IMU links arrive pre-chained (host cache, f64);
+                # only the short GPS bridge spans still preintegrate
+                # in-program — fused with the LM solve: ONE device
+                # execution per optimise call
                 if gps_bufs is not None:
                     Pg, _ = preint(gps_bufs, whiten=False)
                     p = p._replace(gps_pre=Pg)
@@ -903,14 +1006,14 @@ class SlidingWindowEstimator:
         if self.frames:
             self._check_gps_dropout(self.frames[-1].timestamp)
         with timing.Timer("3.1 BuildProblem"):
-            p, fid2slot, imu_bufs, gps_bufs = self._build_problem()
+            p, fid2slot, gps_bufs = self._build_problem()
         use_depth = bool(np.asarray(p.obs_depth_valid).any())
         use_icp = p.icp_map is not None
         run = self._optimize_fn(
             int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
         )
         with timing.Timer("3.2 SolveDevice"):
-            p_opt, cost = run(p, self.cams, imu_bufs, gps_bufs)
+            p_opt, cost = run(p, self.cams, gps_bufs)
             cost = float(cost)
         with timing.Timer("3.3 Readback"):
             T = np.asarray(p_opt.T_WS)
@@ -989,6 +1092,9 @@ class SlidingWindowEstimator:
             ]
             if not candidates:
                 break
+            # IMU-chain merge BEFORE the frame leaves the chain
+            # (≙ eliminateImuFrames, ViSlamBackend.cpp:511)
+            self._merge_chain_link(candidates[0].fid)
             self._drop_frame(candidates[0].fid)
 
         # 2. convert surplus keyframes to pose-graph frames
@@ -1035,6 +1141,7 @@ class SlidingWindowEstimator:
             self.rel_edges = keep
 
         self._prune_landmarks()
+        self._prune_imu_links()
         self._trim_imu_buffer()
 
     def _two_pose_edge_fn(self, ncap: int, lcap: int):
@@ -1159,7 +1266,9 @@ class SlidingWindowEstimator:
                         self.rel_edges.append(edge)
         # keep the frame as a frozen pose-graph anchor; its observations
         # are summarised in the edge, so they leave the active problem —
-        # but are archived for the final BA re-expansion
+        # but are archived for the final BA re-expansion.  The IMU chain
+        # merges across it first (its kinematic info moves into the edge).
+        self._merge_chain_link(victim.fid)
         victim.pose_graph_frame = True
         gone = self.obs_fid == victim.fid
         self._archive_obs(gone)

@@ -280,3 +280,83 @@ def test_final_ba_repropagated_imu_beats_glue():
     err_glue = _run_vio_then_final_ba(redo_imu=False)
     assert err_redo < 0.15, (err_redo, err_glue)
     assert err_redo <= err_glue * 1.05, (err_redo, err_glue)
+
+
+@pytest.mark.slow
+def test_long_keyframe_spans_chain_merge():
+    """Round-2 crash regression: keyframes far apart in time make window
+    IMU links outgrow any fixed raw-sample capacity (the old design died
+    at `IMU span 522 exceeds capacity 512`).  With chained preintegration
+    (≙ ImuError::append + eliminateImuFrames) the estimator must survive
+    links spanning many seconds and keep the error bounded."""
+    cams, T_SC = make_rig()
+    sim = simulate(duration=11.0, frame_rate=5.0)
+    rng = np.random.default_rng(11)
+    n_pts = 300
+    pts = np.stack([
+        rng.uniform(-1.0, 7.0, n_pts),
+        rng.uniform(-1.5, 1.5, n_pts),
+        rng.uniform(1.5, 4.0, n_pts),
+    ], -1)
+    cfg = EstimatorConfig(
+        cap_frames=10, num_keyframes=4, num_imu_frames=3,
+        cap_landmarks=512, cap_obs=3072, cap_imu_links=9,
+        max_iterations=5,
+    )
+    est = SlidingWindowEstimator(cfg, cams, T_SC)
+
+    for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+        if t > sim["t_frames"][0] + 0.01:
+            break
+        est.add_imu_measurement(t, w, a)
+
+    cam = cams[0]
+    lid_by_pt = {}
+    errs = []
+    imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+    max_link_dt = 0.0
+
+    for k, tf in enumerate(sim["t_frames"]):
+        while imu_idx < len(sim["t_imu"]) and sim["t_imu"][imu_idx] <= tf + 0.005:
+            est.add_imu_measurement(
+                sim["t_imu"][imu_idx], sim["gyr"][imu_idx], sim["acc"][imu_idx]
+            )
+            imu_idx += 1
+        fid = est.add_state(tf)
+        T_WS_gt = sim["T_WS_gt"][k]
+        for c in range(2):
+            T_CW = se3.se3_multiply(
+                se3.se3_inverse(jnp.asarray(T_SC[c])),
+                se3.se3_inverse(jnp.asarray(T_WS_gt)),
+            )
+            p_C = np.asarray(jax.vmap(lambda pt: se3.se3_apply(T_CW, pt))(
+                jnp.asarray(pts)
+            ))
+            uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+            uv = np.asarray(uv)
+            valid = np.asarray(valid)
+            for i in np.nonzero(valid)[0][:40]:
+                if i not in lid_by_pt:
+                    hp = np.concatenate([pts[i] + RNG.normal(0, 0.05, 3), [1.0]])
+                    lid_by_pt[i] = est.add_landmark(hp)
+                est.add_observation(
+                    fid, c, lid_by_pt[i], uv[i] + RNG.normal(0, 0.5, 2)
+                )
+        # keyframes every ~3.6 s: chain links between surviving keyframes
+        # span ~720 raw samples at 200 Hz — beyond the old 512 cap
+        est.set_keyframe(fid, k % 18 == 0)
+        est.optimise()
+        est.marginalise()
+        if est.imu_links:
+            max_link_dt = max(
+                max_link_dt,
+                max(float(e.dt) for e, _ in est.imu_links.values()),
+            )
+        T_est = est.get_state().T_WS
+        errs.append(np.linalg.norm(T_est[:3] - sim["T_WS_gt"][k][:3]))
+
+    # the scenario must actually have exercised >cap-sample links
+    assert max_link_dt * 200.0 > cfg.cap_imu_samples, max_link_dt
+    errs = np.array(errs)
+    assert errs[-1] < 0.25, errs
+    assert errs.max() < 0.4, errs

@@ -215,3 +215,97 @@ def test_residual_jacobian_finite_diff():
             # cross-coupling entries
             tol = 1e-5 * (1.0 + np.abs(col).max())
             np.testing.assert_allclose(col, num, atol=tol)
+
+
+def test_numpy_full_preintegration_matches_jax():
+    """Host preintegrate_full == device preintegrate (deltas, Jacobians,
+    covariance) — the chained-link cache and the fused GPS spans must be
+    interchangeable."""
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+
+    batch, _ = make_batch(0.0, 0.8, rate=200.0)
+    bg = jnp.asarray([0.004, -0.002, 0.001], F64)
+    ba = jnp.asarray([0.05, -0.03, 0.02], F64)
+    P_jax = pre.preintegrate(PARAMS, batch, 0.0, 0.8, bg, ba)
+    m = np.asarray(batch.mask)
+    P_np = pre_np.preintegrate_full(
+        PARAMS, np.asarray(batch.t)[m], np.asarray(batch.gyr)[m],
+        np.asarray(batch.acc)[m], 0.0, 0.8, np.asarray(bg), np.asarray(ba),
+    )
+    for fld in pre.Preintegrated._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(P_np, fld)), np.asarray(getattr(P_jax, fld)),
+            atol=1e-9, err_msg=fld,
+        )
+
+
+def test_chained_compose_matches_from_raw():
+    """Property: composing per-segment preintegrations (≙ ImuError::append)
+    reproduces the from-raw preintegration of the merged span — including
+    under differing per-segment bias linearisation points (the lazy-redo
+    scenario) and for multi-hop chains."""
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+
+    batch, _ = make_batch(0.0, 2.0, rate=200.0)
+    t = np.asarray(batch.t)
+    gyr = np.asarray(batch.gyr)
+    acc = np.asarray(batch.acc)
+    bg = np.array([0.004, -0.002, 0.001])
+    ba = np.array([0.05, -0.03, 0.02])
+
+    full = pre_np.preintegrate_full(PARAMS, t, gyr, acc, 0.0, 2.0, bg, ba)
+
+    # split at arbitrary interior samples; give each segment a slightly
+    # different linearisation point (simulating bias updates between
+    # segment construction times)
+    cuts = [0, 97, 211, 305, len(t) - 1]
+    segs = []
+    rng = np.random.default_rng(3)
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        dbg = 0.003 * rng.standard_normal(3)
+        dba = 0.02 * rng.standard_normal(3)
+        segs.append(
+            pre_np.preintegrate_full(
+                PARAMS, t[a:b + 1], gyr[a:b + 1], acc[a:b + 1],
+                t[a], t[b], bg + dbg, ba + dba,
+            )
+        )
+    chained = segs[0]
+    for s in segs[1:]:
+        chained = pre_np.compose(chained, s)
+    # rebase the chain head to the reference bias for comparison
+    dbg0 = bg - chained.lin_bg
+    dba0 = ba - chained.lin_ba
+    dp = chained.dp + chained.dp_dbg @ dbg0 + chained.dp_dba @ dba0
+    dv = chained.dv + chained.dv_dbg @ dbg0 + chained.dv_dba @ dba0
+    from okvis2x_tpu.core import se3np
+    dq = se3np.quat_multiply(
+        chained.dq, se3np.delta_q(chained.dq_dbg @ dbg0))
+
+    # residual error is second order in the per-segment bias offsets
+    np.testing.assert_allclose(dp, full.dp, atol=5e-3)
+    np.testing.assert_allclose(dv, full.dv, atol=2e-3)
+    dqe = se3np.quat_multiply(se3np.quat_conjugate(dq), full.dq)
+    assert np.linalg.norm(se3np.quat_log(dqe)) < 5e-4
+    assert abs(chained.dt - full.dt) < 1e-9
+    # covariance and bias Jacobians match to first order
+    scale = np.abs(full.P).max()
+    np.testing.assert_allclose(chained.P, full.P, atol=2e-2 * scale)
+    for fld in ("dp_dbg", "dp_dba", "dv_dbg", "dv_dba", "dq_dbg"):
+        a_ = np.asarray(getattr(chained, fld))
+        b_ = np.asarray(getattr(full, fld))
+        np.testing.assert_allclose(
+            a_, b_, atol=2e-2 * max(np.abs(b_).max(), 1e-9), err_msg=fld)
+
+
+def test_host_sqrt_information_matches_jax():
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+
+    batch, _ = make_batch(0.0, 0.5, rate=200.0)
+    P = pre.preintegrate(
+        PARAMS, batch, 0.0, 0.5, jnp.zeros(3, F64), jnp.zeros(3, F64))
+    W_jax = np.asarray(imu_factor.sqrt_information(P.P))
+    W_np = pre_np.sqrt_information(np.asarray(P.P))
+    # both satisfy W^T W == P^-1
+    np.testing.assert_allclose(
+        W_np.T @ W_np, W_jax.T @ W_jax, rtol=1e-6)
