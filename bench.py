@@ -1,61 +1,156 @@
-"""Benchmark: sliding-window BA iterations/s on the local accelerator.
+"""Benchmark: end-to-end SLAM + kernel metrics on the local accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Headline metric: realtime-window bundle-adjustment iterations per second on
-a representative VIO window (8 frames / 512 landmarks / 4096 stereo
-observations, Cauchy-robust, Schur landmark elimination — the shape the
-reference solves with Ceres DENSE_SCHUR under its 35 ms budget).
+Headline metric: steady-state frames/s of the full SLAM pipeline (detector →
+descriptor → association → sliding-window BA → marginalisation → loop
+closure) on the reference-scale circuit benchmark (752x480 stereo @ 20 Hz,
+200 Hz IMU, 704 keypoints — the EuRoC operating point of
+config/euroc/okvis2.yaml:74-99).  Baseline: the reference runs real time at
+20 fps on 3 CPU threads, so vs_baseline = fps / 20.
 
-Baseline: the reference realtime budget allows max 10 iterations in 0.035 s
-on 3 CPU threads (config/euroc/okvis2.yaml:91-99) => 285.7 iterations/s.
-vs_baseline > 1 means faster than the reference budget.
+`extra` carries the rest of the evidence the driver archives:
+  * ate_online_m / ate_final_m, loop closures, landmark merges
+  * ba_iterations_per_s on the realtime window shape (vs the reference's
+    10-iterations-in-35 ms Ceres budget)
+  * hamming_gbs: Pallas SWAR-popcount descriptor matching at database scale
+  * detect_ms: detection+description per 752x480 stereo frame
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 20.0  # reference realtime operating point
+BASELINE_ITERS_PER_S = 10 / 0.035  # reference realtime BA budget
 
 
-BASELINE_ITERS_PER_S = 10 / 0.035  # reference realtime budget
-
-
-def main():
+def bench_ba():
     from okvis2x_tpu.solver import gauss_newton as gn
     from okvis2x_tpu.testing import synthetic_window_problem
-    from okvis2x_tpu.utils import jaxconfig
-
-    jaxconfig.setup()
 
     iters = 10
     p, cams = synthetic_window_problem(K=8, L=512, N=4096, dtype=jnp.float32)
-    # unroll: dynamic loop steps cost ~0.6 ms of sequencer sync each on this
-    # runtime; straight-line code pays only the kernels
     cfg = gn.SolverConfig(max_iterations=iters, unroll=True)
-
     run = jax.jit(lambda prob: gn.optimize(prob, cams, cfg))
-    # warmup/compile
     out, cost = run(p)
     jax.block_until_ready(cost)
-
     n_rep = 20
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out, cost = run(p)
     jax.block_until_ready(cost)
     dt = (time.perf_counter() - t0) / n_rep
+    return iters / dt
 
-    iters_per_s = iters / dt
+
+def bench_hamming():
+    """Pallas Hamming kernel at loop-closure database scale: 704 query
+    descriptors vs 16384 database descriptors, 384 bits each."""
+    from okvis2x_tpu.ops import hamming_pallas
+
+    rng = np.random.default_rng(0)
+    # 704 keypoints padded to the 256-row kernel tile
+    q = jnp.asarray(rng.integers(0, 2**32, (768, 12), dtype=np.uint32))
+    db = jnp.asarray(rng.integers(0, 2**32, (16384, 12), dtype=np.uint32))
+    run = hamming_pallas.hamming_matrix_packed
+    out = run(q, db)
+    jax.block_until_ready(out)
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(q, db)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    # effective bytes = query*db pairs x 48 B of descriptor reads
+    gbs = (int(q.shape[0]) * int(db.shape[0]) * 48) / dt / 1e9
+    return gbs, dt * 1e3
+
+
+def bench_detect():
+    """Detection + description, 752x480 stereo pair, 704 keypoints."""
+    from okvis2x_tpu.frontend import descriptor, detector
+
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (2, 480, 768), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def run(ims):
+        ims = ims.astype(jnp.float32) / 255.0
+
+        def one(img):
+            kp = detector.detect(
+                img, max_keypoints=704, octaves=2, cell=32, per_cell=8,
+                threshold=1e-7,
+            )
+            packed, _ = descriptor.extract(
+                img, kp.uv, jnp.zeros((704,)), kp.level, kp.valid
+            )
+            return kp.uv, kp.valid, packed
+
+        return jax.vmap(one)(ims)
+
+    out = run(imgs)
+    jax.block_until_ready(out)
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(imgs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_rep * 1e3
+
+
+def bench_slam():
+    """Bounded reference-scale SLAM run (cached circuit dataset)."""
+    from tools import slam_bench
+
+    frames = int(os.environ.get("BENCH_SLAM_FRAMES", "200"))
+    res = slam_bench.run(
+        duration=30.0, warmup_frames=40, verbose=False, max_frames=frames
+    )
+    return res
+
+
+def main():
+    from okvis2x_tpu.utils import jaxconfig
+
+    jaxconfig.setup()
+
+    slam = bench_slam()
+    ba_its = bench_ba()
+    gbs, ham_ms = bench_hamming()
+    det_ms = bench_detect()
+
+    fps = slam["fps_steady"]
     print(
         json.dumps(
             {
-                "metric": "ba_iterations_per_s",
-                "value": round(iters_per_s, 2),
-                "unit": "LM iterations/s (8 frames, 512 lms, 4096 obs, f32)",
-                "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 3),
+                "metric": "slam_fps_steady",
+                "value": fps,
+                "unit": "frames/s end-to-end (752x480 stereo, 704 kps, "
+                        "window BA + loop closure)",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "extra": {
+                    "ms_per_frame_p50": slam["ms_per_frame_p50"],
+                    "ms_per_frame_p90": slam["ms_per_frame_p90"],
+                    "ate_online_m": slam["ate_online_m"],
+                    "ate_final_m": slam["ate_final_m"],
+                    "loop_closures": slam["loop_closures"],
+                    "landmarks_merged": slam["landmarks_merged"],
+                    "frames": slam["frames"],
+                    "ba_iterations_per_s": round(ba_its, 2),
+                    "ba_vs_ref_budget": round(ba_its / BASELINE_ITERS_PER_S, 3),
+                    "hamming_gbs": round(gbs, 2),
+                    "hamming_ms_704x16384": round(ham_ms, 3),
+                    "detect_ms_stereo_752x480": round(det_ms, 2),
+                },
             }
         )
     )

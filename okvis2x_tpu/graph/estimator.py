@@ -42,6 +42,7 @@ import numpy as np
 
 from okvis2x_tpu.core import se3, se3np
 from okvis2x_tpu.factors import imu_factor
+from okvis2x_tpu.factors.reprojection import residual as reprojection_residual
 from okvis2x_tpu.imu import preintegration as pre
 from okvis2x_tpu.imu import preintegration_np as pre_np
 from okvis2x_tpu.solver import gauss_newton as gn
@@ -718,6 +719,7 @@ class SlidingWindowEstimator:
             ],
             dtype=bool,
         ) if len(self.obs_fid) else np.zeros((0,), bool)
+        obs_src = np.nonzero(live)[0]  # problem row -> host obs index
         of = self.obs_fid[live]
         n_obs = len(of)
         assert n_obs <= Ncap, f"{n_obs} observations exceed capacity {Ncap}"
@@ -928,7 +930,7 @@ class SlidingWindowEstimator:
                     icp_valid=icp_valid,
                     icp_map=self.icp_map,
                 )
-        return p, fid2slot, gps_bufs
+        return p, fid2slot, gps_bufs, obs_src
 
     def set_icp_map(self, sm, grid_cfg):
         """Register the active submap as the live ICP target (called after
@@ -944,8 +946,10 @@ class SlidingWindowEstimator:
         self.icp_live = (anchor_fid, owner_fid, np.asarray(pts_S), sigma)
 
     def _optimize_fn(self, rcap: int, iters: int, pose_only: bool,
-                     use_depth: bool = False, use_icp: bool = False):
-        key = ("opt", rcap, iters, pose_only, use_depth, use_icp)
+                     use_depth: bool = False, use_icp: bool = False,
+                     gated: bool = False, gate_iters2: int = 2):
+        key = ("opt", rcap, iters, pose_only, use_depth, use_icp, gated,
+               gate_iters2)
         if key not in self._jit_cache:
             cfg = gn.SolverConfig(
                 max_iterations=iters,
@@ -995,30 +999,63 @@ class SlidingWindowEstimator:
                     p = p._replace(gps_pre=Pg)
                 return gn.optimize(p, cams, cfg)
 
-            self._jit_cache[key] = jax.jit(fused)
+            if not gated:
+                self._jit_cache[key] = jax.jit(fused)
+                return self._jit_cache[key]
+
+            cfg2 = cfg._replace(max_iterations=gate_iters2)
+
+            def fused_gated(p, cams, gps_bufs, gate_slot, gate_px):
+                # solve -> chi2 outlier gate on the gated frame's rows ->
+                # short re-solve, ONE device execution (replaces the
+                # Optimise + host reject_outliers + OutlierReoptimise
+                # three-round-trip sequence; ≙ Frontend::removeOutliers
+                # between the inline optimisation stages, Frontend.cpp:2398)
+                if gps_bufs is not None:
+                    Pg, _ = preint(gps_bufs, whiten=False)
+                    p = p._replace(gps_pre=Pg)
+                p1, _ = gn.optimize(p, cams, cfg)
+
+                def obs_err(f, c, l, uv, si):
+                    r, ok = reprojection_residual(
+                        cams.at(c), p1.T_WS[f], p1.T_SC[c], p1.hp_W[l],
+                        uv, si,
+                    )
+                    return jnp.linalg.norm(r) / jnp.maximum(si, 1e-12), ok
+
+                err_px, proj_ok = jax.vmap(obs_err)(
+                    p1.obs_frame, p1.obs_cam, p1.obs_lm, p1.obs_uv,
+                    p1.obs_sqrt_info,
+                )
+                out = (
+                    p1.obs_valid
+                    & (p1.obs_frame == gate_slot)
+                    & (~proj_ok | (err_px > gate_px))
+                )
+                p2 = p1._replace(obs_valid=p1.obs_valid & ~out)
+                p3, cost = gn.optimize(p2, cams, cfg2)
+                # ALL host-consumed outputs in ONE array (each separate
+                # D2H fetch costs ~16 ms on the remote runtime):
+                # [T_WS | sb | hp_W | outlier mask | cost] — at the solve
+                # dtype (f32 on TPU; f64 on CPU hosts where truncating the
+                # state handoff each frame would bleed precision)
+                pdt = p3.T_WS.dtype
+                packed = jnp.concatenate([
+                    p3.T_WS.reshape(-1),
+                    p3.sb.reshape(-1).astype(pdt),
+                    p3.hp_W.reshape(-1).astype(pdt),
+                    out.astype(pdt),
+                    cost.reshape(1).astype(pdt),
+                ])
+                return p3, packed
+
+            self._jit_cache[key] = jax.jit(fused_gated)
         return self._jit_cache[key]
 
-    def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
-        """Run the window solver and write results back to host state."""
-        from okvis2x_tpu.utils import timing
-
-        iters = iterations or self.cfg.max_iterations
-        if self.frames:
-            self._check_gps_dropout(self.frames[-1].timestamp)
-        with timing.Timer("3.1 BuildProblem"):
-            p, fid2slot, gps_bufs = self._build_problem()
-        use_depth = bool(np.asarray(p.obs_depth_valid).any())
-        use_icp = p.icp_map is not None
-        run = self._optimize_fn(
-            int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
-        )
-        with timing.Timer("3.2 SolveDevice"):
-            p_opt, cost = run(p, self.cams, gps_bufs)
-            cost = float(cost)
-        with timing.Timer("3.3 Readback"):
-            T = np.asarray(p_opt.T_WS)
-            sb = np.asarray(p_opt.sb)
-            hp = np.asarray(p_opt.hp_W)
+    def _writeback(self, p_opt, fid2slot):
+        T = np.asarray(p_opt.T_WS)
+        sb = np.asarray(p_opt.sb)
+        hp = np.asarray(p_opt.hp_W)
         for f, slot in fid2slot.items():
             fr = self._frame_by_id(f)
             fr.T_WS = T[slot]
@@ -1029,7 +1066,90 @@ class SlidingWindowEstimator:
             self.T_SC = np.asarray(p_opt.T_SC, np.float64)
         if self.gps_status == "Initialised":
             self.T_GW = np.asarray(p_opt.T_GW)
+
+    def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
+        """Run the window solver and write results back to host state."""
+        from okvis2x_tpu.utils import timing
+
+        iters = iterations or self.cfg.max_iterations
+        if self.frames:
+            self._check_gps_dropout(self.frames[-1].timestamp)
+        with timing.Timer("3.1 BuildProblem"):
+            p, fid2slot, gps_bufs, _ = self._build_problem()
+        use_depth = bool(np.asarray(p.obs_depth_valid).any())
+        use_icp = p.icp_map is not None
+        run = self._optimize_fn(
+            int(p.rel_valid.shape[0]), iters, pose_only, use_depth, use_icp
+        )
+        with timing.Timer("3.2 SolveDevice"):
+            p_opt, cost = run(p, self.cams, gps_bufs)
+            cost = float(cost)
+        with timing.Timer("3.3 Readback"):
+            self._writeback(p_opt, fid2slot)
         return float(cost)
+
+    def optimise_gated(self, fid: int, gate_px: float,
+                       iterations: Optional[int] = None,
+                       iterations2: int = 2):
+        """Window solve + in-program chi2 outlier gate on frame `fid` +
+        short re-solve, all in ONE device execution; flagged observations
+        are removed from the host tables afterwards.  Returns
+        (cost, n_outliers).  Replaces the optimise → reject_outliers →
+        optimise(2) sequence, which paid three device round trips per
+        frame (≙ the realtime optimisation loop's interleaved
+        removeOutliers, Frontend.cpp:2398)."""
+        from okvis2x_tpu.utils import timing
+
+        iters = iterations or self.cfg.max_iterations
+        if self.frames:
+            self._check_gps_dropout(self.frames[-1].timestamp)
+        with timing.Timer("3.1 BuildProblem"):
+            p, fid2slot, gps_bufs, obs_src = self._build_problem()
+        use_depth = bool(np.asarray(p.obs_depth_valid).any())
+        use_icp = p.icp_map is not None
+        run = self._optimize_fn(
+            int(p.rel_valid.shape[0]), iters, False, use_depth, use_icp,
+            gated=True, gate_iters2=iterations2,
+        )
+        gate_slot = np.int32(fid2slot.get(fid, -1))
+        with timing.Timer("3.2 SolveDevice"):
+            p_opt, packed_d = run(
+                p, self.cams, gps_bufs, gate_slot,
+                np.asarray(gate_px, np.float32),
+            )
+        with timing.Timer("3.3 Readback"):
+            packed = np.asarray(packed_d)  # ONE device->host transfer
+            K = self.cfg.cap_frames
+            L = self.cfg.cap_landmarks
+            o = 0
+            T = packed[o:o + K * 7].reshape(K, 7); o += K * 7
+            sb = packed[o:o + K * 9].reshape(K, 9); o += K * 9
+            hp = packed[o:o + L * 4].reshape(L, 4); o += L * 4
+            out_mask = packed[o:o + self.cfg.cap_obs] > 0.5
+            cost = float(packed[-1])
+            for f, slot in fid2slot.items():
+                fr = self._frame_by_id(f)
+                fr.T_WS = T[slot].astype(np.float64)
+                fr.sb = sb[slot].astype(np.float64)
+            self.hp_W = hp[:len(self.lm_ids)].astype(np.float64)
+            if self.cfg.do_extrinsics:
+                self.T_SC = np.asarray(p_opt.T_SC, np.float64)
+            if self.gps_status == "Initialised":
+                self.T_GW = np.asarray(p_opt.T_GW)
+            out_rows = np.nonzero(out_mask)[0]
+        n_out = len(out_rows)
+        if n_out:
+            bad = obs_src[out_rows[out_rows < len(obs_src)]]
+            keep = np.ones(len(self.obs_fid), bool)
+            keep[bad] = False
+            self.obs_fid = self.obs_fid[keep]
+            self.obs_cam = self.obs_cam[keep]
+            self.obs_lid = self.obs_lid[keep]
+            self.obs_uv = self.obs_uv[keep]
+            self.obs_sigma = self.obs_sigma[keep]
+            self.obs_depth = self.obs_depth[keep]
+            self.obs_depth_sigma = self.obs_depth_sigma[keep]
+        return float(cost), n_out
 
     # -------------------------------------------------------- marginalisation
     def covisibilities(self, fid: int) -> Dict[int, int]:

@@ -121,9 +121,19 @@ def _scatter_updates(
     pts_K: jax.Array,  # (..., 3) metric sample points in submap frame
     upd: jax.Array,  # (...) log-odds deltas
     ok: jax.Array,  # (...) validity
+    reduce=None,  # cross-device all-reduce (e.g. lax.psum) for sharded rays
 ) -> BrickSubmap:
     """Allocate touched bricks (device-side prefix-sum allocation) and
-    scatter-add the updates into the pool."""
+    scatter-add the updates into the pool.
+
+    With `reduce` (parallel/dist_submap.py passes `lax.psum` under a
+    shard_map), each device scatters only ITS ray shard and the touched
+    mask + update accumulators are all-reduced over ICI before the
+    (replicated, deterministic) allocation and mean-update — every device
+    ends with an identical submap (≙ BASELINE "submaps sharded across N
+    hosts": ray work scales, state stays consistent)."""
+    if reduce is None:
+        reduce = lambda x: x
     from okvis2x_tpu.mapping.submap import _in_bounds, _world_to_voxel
 
     v = _world_to_voxel(cfg, pts_K)
@@ -136,9 +146,11 @@ def _scatter_updates(
     # --- allocation: mark touched bricks, assign pool slots by prefix sum
     T3 = cfg.table_dim ** 3
     touched = (
-        jnp.zeros((T3,), jnp.int32)
-        .at[tflat]
-        .add(okf.astype(jnp.int32), mode="drop")
+        reduce(
+            jnp.zeros((T3,), jnp.int32)
+            .at[tflat]
+            .add(okf.astype(jnp.int32), mode="drop")
+        )
         > 0
     )
     need = touched & (sm.table < 0)
@@ -164,11 +176,15 @@ def _scatter_updates(
     flat = jnp.where(okf & (slot >= 0), flat, trash)
     # per-voxel MEAN of this integration's samples (supereight's weighted-
     # mean update model; see mapping/submap.py integrate_rays)
-    sum_upd = jnp.zeros_like(sm.pool_lo).at[flat].add(
-        jnp.where(okf, upd.reshape(-1), 0.0)
+    sum_upd = reduce(
+        jnp.zeros_like(sm.pool_lo).at[flat].add(
+            jnp.where(okf, upd.reshape(-1), 0.0)
+        )
     )
-    cnt = jnp.zeros_like(sm.pool_lo).at[flat].add(
-        okf.astype(sm.pool_lo.dtype)
+    cnt = reduce(
+        jnp.zeros_like(sm.pool_lo).at[flat].add(
+            okf.astype(sm.pool_lo.dtype)
+        )
     )
     pool_lo = sm.pool_lo + sum_upd / jnp.maximum(cnt, 1.0)
     pool_lo = jnp.clip(pool_lo, cfg.log_odd_min, cfg.log_odd_max)

@@ -101,16 +101,18 @@ class PipelineConfig:
 class FrameData:
     """Per-frame detection results (host mirrors of device arrays)."""
 
-    def __init__(self, uv, score, level, valid, packed, pm1):
+    def __init__(self, uv, score, level, valid, packed, pm1=None):
         self.uv = uv  # (N,2) np
         self.score = score  # unused on host (None in the fast path)
         self.level = level
         self.valid = valid
+        # (N, 12) uint32 packed descriptors, HOST-resident: consumers ship
+        # them into their own programs and unpack there (holding a
+        # device-resident unpacked array created device-to-device
+        # dependency chains between programs, which the remote runtime
+        # serialises at ~178 ms/exec)
         self.packed = packed
-        # device (C, N, 384) bf16 — the BATCHED descriptor array shared by
-        # all cameras of the frame; jitted consumers index their camera
-        # inside the program (an eager slice would dispatch on the device)
-        self.pm1 = pm1
+        self.pm1 = pm1  # legacy slot, unused
         self.lid = np.full(uv.shape[0], -1, np.int64)  # landmark assignment
 
 
@@ -155,6 +157,15 @@ class VioPipeline:
             if os.path.exists(path):
                 self.vocab = bow.HierVocabulary.load(path)
                 self.bow_db = bow.BowDatabase(k=self.vocab.n_words)
+            else:
+                import logging
+
+                logging.warning(
+                    "BoW vocabulary %s not found — falling back to online "
+                    "flat-vocab training (loop-closure recall degrades "
+                    "until ~%d descriptors are seen)",
+                    path, cfg.vocab_min_desc,
+                )
         self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
         self.n_loop_closures = 0
         # multi-session: loaded components (each with its own BoW database,
@@ -198,10 +209,16 @@ class VioPipeline:
                         threshold=cfg.harris_threshold,
                     )
                     ang = jnp.full((cfg.max_keypoints,), angle)
-                    packed, pm1 = descriptor.extract(
+                    packed, _ = descriptor.extract(
                         img, kp.uv, ang, kp.level, kp.valid
                     )
-                    return kp, packed, pm1
+                    # uv+valid packed into one f32 fetch (per-array D2H
+                    # costs ~16 ms on the remote runtime)
+                    uvv = jnp.concatenate(
+                        [kp.uv.astype(jnp.float32),
+                         kp.valid[:, None].astype(jnp.float32)], axis=1
+                    )
+                    return uvv, packed
 
                 return jax.vmap(one)(imgs, angles)
 
@@ -243,11 +260,12 @@ class VioPipeline:
                 if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
             )
         run = self._detect_fn(imgs.shape)
-        kp, packed, pm1 = run(
+        uvv, packed = run(
             jnp.asarray(imgs), jnp.asarray(angles, jnp.float32)
         )
-        uv = np.asarray(kp.uv)
-        valid = np.asarray(kp.valid)
+        uvv_np = np.asarray(uvv)
+        uv = uvv_np[:, :, :2]
+        valid = uvv_np[:, :, 2] > 0.5
         packed_np = np.asarray(packed)
         # every FrameData of this frame shares the BATCHED (C, N, 384)
         # device array — consumers index it inside their own jitted
@@ -255,7 +273,7 @@ class VioPipeline:
         return [
             FrameData(
                 uv=uv[c], score=None, level=None,
-                valid=valid[c], packed=packed_np[c], pm1=pm1,
+                valid=valid[c], packed=packed_np[c],
             )
             for c in range(len(images))
         ]
@@ -348,11 +366,19 @@ class VioPipeline:
             T_SC0 = jnp.asarray(self.T_SC[0])
 
             @jax.jit
-            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid, pm1,
-                    T_CkC, T_WCk, kf_uv, kf_un, kf_pm1, motion_on):
+            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid,
+                    kp_packs, T_CkC, T_WCk, kf_uv, kf_un, kf_packs,
+                    kf_valid, motion_on):
                 f32 = jnp.float32
                 N = kp_uv.shape[1]
                 lm_pm1 = descriptor.unpack_pm1(lm_packs, lm_valid)
+                # keypoint descriptors arrive PACKED from the host (48 B/kp
+                # upload) and unpack here: feeding the detect program's
+                # device-resident pm1 array in directly made this program
+                # part of a device-to-device dependency chain, which the
+                # remote runtime serialises at ~178 ms/exec
+                pm1 = jax.vmap(descriptor.unpack_pm1)(kp_packs, kp_valid)
+                kf_pm1 = descriptor.unpack_pm1(kf_packs, kf_valid)
 
                 # ---- map matching per camera, in-program landmark dedup
                 map_rows, map_ok, map_dist, assigned = [], [], [], []
@@ -462,7 +488,7 @@ class VioPipeline:
                     (un_c & v_c)[:, None] & (kf_un & v_k)[None, :]
                     & motion_on
                 )
-                Dm = matcher.hamming_matrix(pm1[0], kf_pm1[0])
+                Dm = matcher.hamming_matrix(pm1[0], kf_pm1)
                 Dm = jnp.where(
                     mo_allowed, Dm, jnp.float32(matcher.DESC_BITS)
                 )
@@ -493,11 +519,19 @@ class VioPipeline:
                         T_WCk, h.astype(T_WCk.dtype)
                     )
                 )(hp_Ck)
-                return (
-                    jnp.stack(map_rows), jnp.stack(map_ok),
-                    jnp.stack(map_dist), st_idx, st_ok, st_hp,
-                    mo_idx, mo_ok, mo_hp,
+                # pack into TWO output arrays (one i32, one f32): every
+                # separate device->host fetch costs ~16 ms on the remote
+                # runtime, so nine outputs paid ~145 ms/frame
+                f32c = lambda x: x.astype(f32).reshape(-1)
+                ints = jnp.concatenate(
+                    [jnp.stack(map_rows).reshape(-1).astype(jnp.int32),
+                     st_idx.astype(jnp.int32), mo_idx.astype(jnp.int32)]
                 )
+                flts = jnp.concatenate(
+                    [f32c(jnp.stack(map_ok)), f32c(st_ok), f32c(st_hp),
+                     f32c(mo_ok), f32c(mo_hp)]
+                )
+                return ints, flts
 
             self._jit[key] = run
         return self._jit[key]
@@ -535,33 +569,39 @@ class VioPipeline:
             motion_on = bool(np.linalg.norm(T_CkC[:3]) >= 0.02)
             kf_uv = kfd.uv
             kf_un = (kfd.lid < 0) & kfd.valid
-            kf_pm1 = kfd.pm1
+            kf_packs = kfd.packed
+            kf_valid = kfd.valid
         else:
             T_WCk = np.array([0, 0, 0, 0, 0, 0, 1.0])
             T_CkC = np.array([0, 0, 0, 0, 0, 0, 1.0])
             motion_on = False
             kf_uv = np.zeros((N, 2))
             kf_un = np.zeros(N, bool)
-            kf_pm1 = frame_data[0].pm1  # placeholder, masked out
+            kf_packs = np.zeros((N, 12), np.uint32)
+            kf_valid = np.zeros(N, bool)
         run = self._associate_fn()
-        (map_rows, map_ok, map_dist, st_idx, st_ok, st_hp,
-         mo_idx, mo_ok, mo_hp) = run(
+        ints_d, flts_d = run(
             f.T_WS, hp, lm_valid, packs,
             jnp.asarray(np.stack([fd.uv for fd in frame_data])),
             jnp.asarray(np.stack([fd.valid for fd in frame_data])),
-            frame_data[0].pm1,
+            jnp.asarray(np.stack([fd.packed for fd in frame_data])),
             jnp.asarray(T_CkC), jnp.asarray(T_WCk),
-            jnp.asarray(kf_uv), jnp.asarray(kf_un), kf_pm1,
+            jnp.asarray(kf_uv), jnp.asarray(kf_un),
+            jnp.asarray(kf_packs), jnp.asarray(kf_valid),
             jnp.asarray(motion_on),
         )
-        map_rows = np.asarray(map_rows)
-        map_ok = np.asarray(map_ok)
-        st_idx = np.asarray(st_idx)
-        st_ok = np.asarray(st_ok)
-        st_hp = np.asarray(st_hp)
-        mo_idx = np.asarray(mo_idx)
-        mo_ok = np.asarray(mo_ok)
-        mo_hp = np.asarray(mo_hp)
+        ints = np.asarray(ints_d)
+        flts = np.asarray(flts_d)
+        C = self.num_cams
+        map_rows = ints[:C * N].reshape(C, N)
+        st_idx = ints[C * N:C * N + N]
+        mo_idx = ints[C * N + N:C * N + 2 * N]
+        o = 0
+        map_ok = flts[o:o + C * N].reshape(C, N) > 0.5; o += C * N
+        st_ok = flts[o:o + N] > 0.5; o += N
+        st_hp = flts[o:o + 4 * N].reshape(N, 4); o += 4 * N
+        mo_ok = flts[o:o + N] > 0.5; o += N
+        mo_hp = flts[o:o + 4 * N].reshape(N, 4)
 
         # ---- consume map matches (deduped in-program)
         n_map = 0
@@ -1254,16 +1294,17 @@ class VioPipeline:
             self.attach_depth_priors(fid, depth_images)
             n_stereo += self.depth_initialize(fid, frame_data, depth_images)
 
-        with timing.Timer("2.6 Optimise"):
-            est.optimise()
-        # post-solve chi2 pass: freshly triangulated landmarks can enter as
-        # outliers (≙ Frontend::removeOutliers between the inline
-        # optimisation stages, Frontend.cpp:2398); without this a burst of
-        # bad stereo initialisations late in a sequence leaves too few LM
-        # iterations to recover
-        with timing.Timer("2.7 OutlierReoptimise"):
-            if self.reject_outliers(fid) > 0:
-                est.optimise(iterations=2)
+        # solve + in-program chi2 gate + short re-solve in ONE device
+        # execution (≙ the realtime optimisation with interleaved
+        # Frontend::removeOutliers, Frontend.cpp:2398 — freshly
+        # triangulated landmarks can enter as outliers; without the gate a
+        # burst of bad stereo initialisations late in a sequence leaves
+        # too few LM iterations to recover)
+        with timing.Timer("2.6 OptimiseGated"):
+            est.optimise_gated(
+                fid,
+                gate_px=self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3,
+            )
         if est.cfg.do_extrinsics:
             # keep the pipeline's projection extrinsics in sync with the
             # online-calibrated estimate

@@ -113,3 +113,75 @@ def test_ransac_rotation_only():
     assert int(res.num_inliers) > 55
     dq = se3.quat_multiply(se3.quat_conjugate(res.T[3:7]), q)
     assert float(jnp.linalg.norm(se3.quat_log(dq))) < 5e-3
+
+
+def test_shipped_vocabulary_fresh_session_recall():
+    """The committed pretrained vocabulary (okvis2x_tpu/resources/
+    vocab_b64l64.npz ≙ the reference shipping resources/small_voc.yml.gz,
+    Frontend.cpp:91-115) must give place-recognition recall in a FRESH
+    session with zero online training: real rendered circuit views,
+    revisits retrieved over distractor places."""
+    import os
+
+    from okvis2x_tpu.cameras import pinhole, pinhole_np
+    from okvis2x_tpu.frontend import descriptor, detector
+    from okvis2x_tpu.io import synthetic
+
+    path = os.path.join(
+        os.path.dirname(bow.__file__), "..", "resources", "vocab_b64l64.npz"
+    )
+    assert os.path.exists(path), "vocabulary artifact must be committed"
+    vocab = bow.HierVocabulary.load(path)
+    assert vocab.n_words == 64 * 64
+
+    cam = pinhole.make_pinhole(
+        fx=460.0, fy=460.0, cx=376.0, cy=240.0, width=752, height=480,
+        model="radtan", dist_params=[-0.25, 0.06, 1e-4, -1e-4],
+    )
+    cam_np = pinhole_np.to_numpy(cam)
+    # scene seed disjoint from the trainer's corpus (tools/train_vocab.py
+    # uses seeds 100-105 / 200-203)
+    pts, b, r = synthetic.make_circuit_scene(density=20.0, seed=77)
+    center = pts.mean(0)
+    rng = np.random.default_rng(9)
+
+    @jax.jit
+    def detect(img):
+        kp = detector.detect(img, max_keypoints=512, octaves=1, cell=32,
+                             per_cell=8, threshold=1e-7)
+        packed, pm1 = descriptor.extract(
+            img, kp.uv, jnp.zeros((512,)), kp.level, kp.valid)
+        return pm1, kp.valid
+
+    def view(x, y, yaw, seed):
+        T_WC = np.r_[center + np.array([x, y, -center[2]]),
+                     np.array([0, 0, np.sin(yaw / 2), np.cos(yaw / 2)])]
+        img = synthetic.render_image(cam_np, T_WC, pts, b, r, seed=seed)
+        return detect(jnp.asarray(img))
+
+    db = bow.BowDatabase(k=vocab.n_words)
+    places = [(-4.0, -4.0, 0.3), (4.0, -4.0, 1.8), (4.0, 4.0, 3.4),
+              (-4.0, 4.0, 5.0), (0.0, 0.0, 0.0), (2.0, -2.0, 2.6)]
+    for fid, (x, y, yaw) in enumerate(places):
+        pm1, valid = view(x, y, yaw, seed=fid)
+        words = np.asarray(bow.assign(pm1, vocab))
+        db.add(fid, words, np.asarray(valid))
+
+    # revisit each place from a slightly offset pose.  The dot-field
+    # circuit scene is deliberately self-similar, so require the correct
+    # place among the top-3 candidates for every revisit (the pipeline
+    # geometrically verifies several candidates, vio._geometric_verify)
+    # and top-1 for half.
+    top1 = 0
+    top2 = 0
+    for fid, (x, y, yaw) in enumerate(places):
+        dx, dy = rng.uniform(-0.3, 0.3, 2)
+        pm1, valid = view(x + dx, y + dy, yaw + rng.uniform(-0.05, 0.05),
+                          seed=100 + fid)
+        words = np.asarray(bow.assign(pm1, vocab))
+        res = db.query(words, np.asarray(valid), top=3)
+        got = [r[0] for r in res]
+        top1 += bool(got and got[0] == fid)
+        top2 += fid in got
+    assert top2 == 6, f"fresh-session top-3 recall {top2}/6"
+    assert top1 >= 3, f"fresh-session top-1 recall {top1}/6"

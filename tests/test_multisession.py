@@ -142,8 +142,10 @@ def test_component_roundtrip_and_reloc(tmp_path):
 
     from okvis2x_tpu.frontend import bow, descriptor
 
+    # bow.assign handles both the flat and the (shipped) hierarchical
+    # vocabulary — the pipeline now loads resources/vocab_b64l64.npz
     words = np.asarray(
-        bow.assign_words(
+        bow.assign(
             descriptor.unpack_pm1(
                 jnp.asarray(rec_b["packed"]), jnp.asarray(rec_b["valid"])
             ),
