@@ -441,6 +441,29 @@ class SlidingWindowEstimator:
         run = self._preintegrate_batch_fn()
         return run(*self._span_buffers(spans, n_rows, S, imu_arrays))
 
+    def repredict_latest(self):
+        """Re-run the IMU prediction of the NEWEST state from its
+        (just-corrected) predecessor — used by the pipelined frame loop
+        after collecting the previous frame's solve, so the dispatched
+        problem linearises around the corrected prediction rather than
+        the stale one."""
+        chain = self._chain_frames()
+        if len(chain) < 2:
+            return
+        a, b = chain[-2], chain[-1]
+        if b is not self.frames[-1]:
+            return
+        i0, i1 = self._imu_span(a.timestamp, b.timestamp)
+        if i1 - i0 < 2:
+            return
+        T1, v1 = pre_np.predict_state(
+            self.cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
+            self.imu_acc[i0:i1], a.timestamp, b.timestamp,
+            a.T_WS, a.sb[0:3], a.sb[3:6], a.sb[6:9],
+        )
+        b.T_WS = T1
+        b.sb = np.concatenate([v1, a.sb[3:9]])
+
     # -------------------------------------------------- chained imu links
     def _chain_frames(self) -> List[FrameState]:
         """Frames on the live IMU chain (non-pose-graph), in time order."""
@@ -1088,16 +1111,20 @@ class SlidingWindowEstimator:
             self._writeback(p_opt, fid2slot)
         return float(cost)
 
-    def optimise_gated(self, fid: int, gate_px: float,
-                       iterations: Optional[int] = None,
-                       iterations2: int = 2):
-        """Window solve + in-program chi2 outlier gate on frame `fid` +
-        short re-solve, all in ONE device execution; flagged observations
-        are removed from the host tables afterwards.  Returns
-        (cost, n_outliers).  Replaces the optimise → reject_outliers →
-        optimise(2) sequence, which paid three device round trips per
-        frame (≙ the realtime optimisation loop's interleaved
-        removeOutliers, Frontend.cpp:2398)."""
+    def optimise_gated_dispatch(self, fid: int, gate_px: float,
+                                iterations: Optional[int] = None,
+                                iterations2: int = 2) -> dict:
+        """Build + dispatch the gated window solve WITHOUT waiting for the
+        result; returns a handle for `optimise_gated_collect`.
+
+        The pipeline collects one frame later, overlapping the solve's
+        device execution with the next frame's detection + association —
+        the TPU-native equivalent of the reference's backend optimisation
+        thread running concurrently with the frontend
+        (okvis_multisensor_processing/src/ThreadedSlam.cpp:945-960).
+        Between dispatch and collect the host may only APPEND frames /
+        landmarks / observations (association does exactly that); removal
+        or reordering waits until after collect."""
         from okvis2x_tpu.utils import timing
 
         iters = iterations or self.cfg.max_iterations
@@ -1117,8 +1144,20 @@ class SlidingWindowEstimator:
                 p, self.cams, gps_bufs, gate_slot,
                 np.asarray(gate_px, np.float32),
             )
+        return dict(
+            p_opt=p_opt, packed=packed_d, fid2slot=fid2slot,
+            obs_src=obs_src, nl=len(self.lm_ids), fid=fid,
+        )
+
+    def optimise_gated_collect(self, h: dict):
+        """Fetch + write back a dispatched gated solve: poses/speed-bias
+        for the snapshot frames, landmarks for the snapshot rows, and
+        removal of the chi2-flagged observations.  Returns
+        (cost, n_outliers)."""
+        from okvis2x_tpu.utils import timing
+
         with timing.Timer("3.3 Readback"):
-            packed = np.asarray(packed_d)  # ONE device->host transfer
+            packed = np.asarray(h["packed"])  # ONE device->host transfer
             K = self.cfg.cap_frames
             L = self.cfg.cap_landmarks
             o = 0
@@ -1127,16 +1166,25 @@ class SlidingWindowEstimator:
             hp = packed[o:o + L * 4].reshape(L, 4); o += L * 4
             out_mask = packed[o:o + self.cfg.cap_obs] > 0.5
             cost = float(packed[-1])
-            for f, slot in fid2slot.items():
+            live = {f.fid for f in self.frames}
+            for f, slot in h["fid2slot"].items():
+                if f not in live:
+                    continue
                 fr = self._frame_by_id(f)
                 fr.T_WS = T[slot].astype(np.float64)
                 fr.sb = sb[slot].astype(np.float64)
-            self.hp_W = hp[:len(self.lm_ids)].astype(np.float64)
+            nl = min(h["nl"], len(self.lm_ids))
+            # landmarks appended since dispatch keep their host values
+            # (hp_W may be a read-only view, so rebuild instead of slicing)
+            self.hp_W = np.concatenate(
+                [hp[:nl].astype(np.float64), self.hp_W[nl:]]
+            )
             if self.cfg.do_extrinsics:
-                self.T_SC = np.asarray(p_opt.T_SC, np.float64)
+                self.T_SC = np.asarray(h["p_opt"].T_SC, np.float64)
             if self.gps_status == "Initialised":
-                self.T_GW = np.asarray(p_opt.T_GW)
+                self.T_GW = np.asarray(h["p_opt"].T_GW)
             out_rows = np.nonzero(out_mask)[0]
+        obs_src = h["obs_src"]
         n_out = len(out_rows)
         if n_out:
             bad = obs_src[out_rows[out_rows < len(obs_src)]]
@@ -1150,6 +1198,20 @@ class SlidingWindowEstimator:
             self.obs_depth = self.obs_depth[keep]
             self.obs_depth_sigma = self.obs_depth_sigma[keep]
         return float(cost), n_out
+
+    def optimise_gated(self, fid: int, gate_px: float,
+                       iterations: Optional[int] = None,
+                       iterations2: int = 2):
+        """Window solve + in-program chi2 outlier gate on frame `fid` +
+        short re-solve, all in ONE device execution; flagged observations
+        are removed from the host tables afterwards.  Returns
+        (cost, n_outliers).  Replaces the optimise → reject_outliers →
+        optimise(2) sequence, which paid three device round trips per
+        frame (≙ the realtime optimisation loop's interleaved
+        removeOutliers, Frontend.cpp:2398)."""
+        h = self.optimise_gated_dispatch(fid, gate_px, iterations,
+                                         iterations2)
+        return self.optimise_gated_collect(h)
 
     # -------------------------------------------------------- marginalisation
     def covisibilities(self, fid: int) -> Dict[int, int]:
@@ -1264,76 +1326,135 @@ class SlidingWindowEstimator:
         self._prune_imu_links()
         self._trim_imu_buffer()
 
-    def _two_pose_edge_fn(self, ncap: int, lcap: int):
-        key = ("tpe", ncap, lcap)
+    def _covis_matrix(self, fids):
+        """(n, n) covisibility counts among `fids` over the live
+        observations — one vectorised pass instead of per-frame Python
+        set intersections (≙ ViGraph::computeCovisibilities)."""
+        n = len(fids)
+        idx = {f: i for i, f in enumerate(fids)}
+        sel = np.isin(self.obs_fid, list(fids))
+        if not sel.any():
+            return np.zeros((n, n))
+        fi = np.array([idx[int(f)] for f in self.obs_fid[sel]])
+        pairs = np.unique(
+            np.stack([fi, self.obs_lid[sel]], axis=1), axis=0
+        )
+        _, lm_inv = np.unique(pairs[:, 1], return_inverse=True)
+        M = np.zeros((n, lm_inv.max() + 1), np.float32)
+        M[pairs[:, 0], lm_inv] = 1.0
+        return M @ M.T
+
+    def _two_pose_edge_fn(self, B: int, ncap: int, lcap: int):
+        """Batched TwoPoseGraphError program: B edges in ONE execution
+        with a single packed (B, 44) f32 output [T_ab | sqrt_info |
+        strength] — per-edge calls paid a ~30 ms dispatch+sync each."""
+        key = ("tpe", B, ncap, lcap)
         if key not in self._jit_cache:
             from okvis2x_tpu.graph.marginalization import two_pose_edge
 
-            self._jit_cache[key] = jax.jit(
-                lambda *a: two_pose_edge(self.cams, *a)
-            )
+            def one(Ta, Tb, T_SC, hp, lmm, op, oc, ol, uv, si, om):
+                T_ab, W, strength = two_pose_edge(
+                    self.cams, Ta, Tb, T_SC, hp, lmm, op, oc, ol, uv, si,
+                    om,
+                )
+                f32 = jnp.float32
+                return jnp.concatenate([
+                    T_ab.astype(f32), W.reshape(36).astype(f32),
+                    strength.reshape(1).astype(f32),
+                ])
+
+            self._jit_cache[key] = jax.jit(jax.vmap(
+                one,
+                in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0, 0),
+            ))
         return self._jit_cache[key]
 
-    def _compute_two_pose_edge(self, victim: FrameState, target: FrameState):
-        """TwoPoseGraphError-style edge from the co-observed reprojection
-        system (graph/marginalization.py)."""
+    def _compute_two_pose_edges(self, victim: FrameState, targets):
+        """TwoPoseGraphError-style edges victim->target for up to B
+        targets in ONE batched device execution
+        (graph/marginalization.py).  Returns a list of edge dicts."""
         cfg = self.cfg
         dtype = cfg.dtype
-        va = self.obs_fid == victim.fid
-        vb = self.obs_fid == target.fid
-        shared = set(self.obs_lid[va]) & set(self.obs_lid[vb])
-        shared = [l for l in shared if l in self.lm_index]
-        if not shared:
-            return None
-        # fixed capacities: one compiled program regardless of window content
-        # (surplus co-observations are subsampled — they carry diminishing
-        # information for a single 6-dof edge)
+        # fixed capacities: one compiled program regardless of window
+        # content (surplus co-observations are subsampled — they carry
+        # diminishing information for a single 6-dof edge)
+        B = 3
         ncap = 512
         lcap = 128
-        if len(shared) > lcap:
-            shared = shared[:lcap]
-        lrow = {l: i for i, l in enumerate(shared)}
-        sel = np.nonzero((va | vb) & np.isin(self.obs_lid, list(shared)))[0]
-        if len(sel) > ncap:
-            sel = sel[:: len(sel) // ncap + 1][:ncap]
+        targets = list(targets)[:B]
+        if not targets:
+            return []
+        va = self.obs_fid == victim.fid
+        Tb_rows = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (B, 1))
+        hp_rows = np.tile(np.array([0, 0, 0, 1.0]), (B, lcap, 1))
+        lmm_rows = np.zeros((B, lcap), bool)
+        op_rows = np.zeros((B, ncap), np.int32)
+        oc_rows = np.zeros((B, ncap), np.int32)
+        ol_rows = np.zeros((B, ncap), np.int32)
+        uv_rows = np.zeros((B, ncap, 2))
+        si_rows = np.ones((B, ncap))
+        om_rows = np.zeros((B, ncap), bool)
+        row_targets = []
+        for r, target in enumerate(targets):
+            vb = self.obs_fid == target.fid
+            shared = set(self.obs_lid[va]) & set(self.obs_lid[vb])
+            shared = [l for l in shared if l in self.lm_index]
+            if not shared:
+                row_targets.append(None)
+                continue
+            if len(shared) > lcap:
+                shared = shared[:lcap]
+            lrow = {l: i for i, l in enumerate(shared)}
+            sel = np.nonzero(
+                (va | vb) & np.isin(self.obs_lid, list(shared))
+            )[0]
+            if len(sel) > ncap:
+                sel = sel[:: len(sel) // ncap + 1][:ncap]
+            n = len(sel)
+            Tb_rows[r] = target.T_WS
+            hp_rows[r, : len(shared)] = self.hp_W[
+                [self.lm_index[l] for l in shared]
+            ]
+            lmm_rows[r, : len(shared)] = True
+            op_rows[r, :n] = (self.obs_fid[sel] == target.fid).astype(
+                np.int32
+            )
+            oc_rows[r, :n] = self.obs_cam[sel]
+            ol_rows[r, :n] = [lrow[l] for l in self.obs_lid[sel]]
+            uv_rows[r, :n] = self.obs_uv[sel]
+            si_rows[r, :n] = 1.0 / self.obs_sigma[sel]
+            om_rows[r, :n] = True
+            row_targets.append(target)
+        if all(t is None for t in row_targets):
+            return []
 
-        hp = np.tile(np.array([0, 0, 0, 1.0]), (lcap, 1))
-        hp[: len(shared)] = self.hp_W[[self.lm_index[l] for l in shared]]
-        lm_mask = np.zeros(lcap, bool)
-        lm_mask[: len(shared)] = True
-
-        n = len(sel)
-        obs_pose = np.zeros(ncap, np.int32)
-        obs_cam = np.zeros(ncap, np.int32)
-        obs_lm = np.zeros(ncap, np.int32)
-        obs_uv = np.zeros((ncap, 2))
-        obs_si = np.ones(ncap)
-        obs_mask = np.zeros(ncap, bool)
-        obs_pose[:n] = (self.obs_fid[sel] == target.fid).astype(np.int32)
-        obs_cam[:n] = self.obs_cam[sel]
-        obs_lm[:n] = [lrow[l] for l in self.obs_lid[sel]]
-        obs_uv[:n] = self.obs_uv[sel]
-        obs_si[:n] = 1.0 / self.obs_sigma[sel]
-        obs_mask[:n] = True
-
-        run = self._two_pose_edge_fn(ncap, lcap)
+        run = self._two_pose_edge_fn(B, ncap, lcap)
         npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
         cvt = lambda x: np.asarray(x, npdt)
-        T_ab, sqrt_info, strength = run(
-            cvt(victim.T_WS), cvt(target.T_WS), cvt(self.T_SC),
-            cvt(hp), lm_mask,
-            obs_pose, obs_cam, obs_lm,
-            cvt(obs_uv), cvt(obs_si), obs_mask,
-        )
-        if not np.isfinite(float(strength)) or float(strength) < 1e-3:
-            return None
-        return dict(
-            i=victim.fid, j=target.fid,
-            T_ij=np.asarray(T_ab), sqrt_info=np.asarray(sqrt_info),
-            # marginalisation summary: dropped when its observations are
-            # re-expanded (final BA / full-graph BA) to avoid double counting
-            marg=True,
-        )
+        Ta_rows = np.tile(victim.T_WS, (B, 1))
+        out = np.asarray(run(
+            cvt(Ta_rows), cvt(Tb_rows), cvt(self.T_SC),
+            cvt(hp_rows), lmm_rows,
+            op_rows, oc_rows, ol_rows,
+            cvt(uv_rows), cvt(si_rows), om_rows,
+        ))
+        edges = []
+        for r, target in enumerate(row_targets):
+            if target is None:
+                continue
+            strength = float(out[r, 43])
+            if not np.isfinite(strength) or strength < 1e-3:
+                continue
+            edges.append(dict(
+                i=victim.fid, j=target.fid,
+                T_ij=out[r, :7].astype(np.float64),
+                sqrt_info=out[r, 7:43].reshape(6, 6).astype(np.float64),
+                # marginalisation summary: dropped when its observations
+                # are re-expanded (final BA / full-graph BA) to avoid
+                # double counting
+                marg=True,
+            ))
+        return edges
 
     def _marginalise_keyframe(self, victim: FrameState):
         """Summarise the keyframe into relative-pose edges selected by a
@@ -1354,13 +1475,14 @@ class SlidingWindowEstimator:
             if f.is_keyframe and not f.pose_graph_frame and f.fid != victim.fid
         ]
         nodes = [victim] + kfs
+        fids = [f.fid for f in nodes]
+        C = self._covis_matrix(fids)
         cov_edges = []
-        for ai, fa in enumerate(nodes):
-            cov = self.covisibilities(fa.fid)
-            for fb in nodes[ai + 1 :]:
-                n = cov.get(fb.fid, 0)
+        for ai in range(len(nodes)):
+            for bi in range(ai + 1, len(nodes)):
+                n = C[ai, bi]
                 if n >= 3:
-                    cov_edges.append((fa.fid, fb.fid, float(n)))
+                    cov_edges.append((fids[ai], fids[bi], float(n)))
         mst = max_spanning_tree(cov_edges)
         targets = [
             j if i == victim.fid else i
@@ -1368,22 +1490,16 @@ class SlidingWindowEstimator:
             if victim.fid in (i, j)
         ]
         by_fid = {f.fid: f for f in kfs}
-        made = 0
-        for tfid in targets[:3]:  # bounded fan-out per marginalised frame
-            edge = self._compute_two_pose_edge(victim, by_fid[tfid])
-            if edge is not None:
-                self.rel_edges.append(edge)
-                made += 1
-        if made == 0:
+        # bounded fan-out per marginalised frame, ONE batched device call
+        edges = self._compute_two_pose_edges(
+            victim, [by_fid[t] for t in targets[:3]]
+        )
+        if not edges and len(nodes) > 1:
             # fall back to the single most covisible keyframe
-            cov = self.covisibilities(victim.fid)
-            kf_cov = [(cov.get(f.fid, 0), f) for f in kfs]
-            if kf_cov:
-                n_best, target = max(kf_cov, key=lambda x: x[0])
-                if n_best >= 3:
-                    edge = self._compute_two_pose_edge(victim, target)
-                    if edge is not None:
-                        self.rel_edges.append(edge)
+            bi = int(np.argmax(C[0, 1:])) + 1
+            if C[0, bi] >= 3:
+                edges = self._compute_two_pose_edges(victim, [nodes[bi]])
+        self.rel_edges.extend(edges)
         # keep the frame as a frozen pose-graph anchor; its observations
         # are summarised in the edge, so they leave the active problem —
         # but are archived for the final BA re-expansion.  The IMU chain

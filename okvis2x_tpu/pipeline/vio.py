@@ -96,6 +96,13 @@ class PipelineConfig:
     # one device execution per frame — the robust window solve + post-solve
     # chi2 pass recover the same outliers)
     pose_refine: bool = True
+    # overlap each frame's window solve with the NEXT frame's detection +
+    # association (collect-one-frame-later; ≙ ThreadedSlam's
+    # optimisationThread_ overlapping the frontend,
+    # ThreadedSlam.cpp:945-960).  Association then matches against a
+    # one-frame-stale map; the realtime state output is the IMU
+    # prediction, retro-corrected in the state log when the solve lands.
+    pipelined_solve: bool = True
 
 
 class FrameData:
@@ -138,6 +145,10 @@ class VioPipeline:
         self._jit = {}
         self.states_log = []  # (t, T_WS) after each frame
         self.path_length = 0.0
+        # pipelined solve: handle of the dispatched-but-uncollected window
+        # solve of the previous frame + last solved pose for path length
+        self._pending = None
+        self._last_solved_T = None
         # loop-closure frames currently held in the window + merge counter
         self.lc_frames: List[int] = []
         self.n_landmarks_merged = 0
@@ -212,13 +223,20 @@ class VioPipeline:
                     packed, _ = descriptor.extract(
                         img, kp.uv, ang, kp.level, kp.valid
                     )
-                    # uv+valid packed into one f32 fetch (per-array D2H
-                    # costs ~16 ms on the remote runtime)
-                    uvv = jnp.concatenate(
-                        [kp.uv.astype(jnp.float32),
-                         kp.valid[:, None].astype(jnp.float32)], axis=1
+                    # ONE u32 output [uv bitcast | valid | packed]:
+                    # every separate D2H fetch costs ~16 ms on the remote
+                    # runtime, so even two outputs are one too many
+                    out = jnp.concatenate(
+                        [
+                            jax.lax.bitcast_convert_type(
+                                kp.uv.astype(jnp.float32), jnp.uint32
+                            ),
+                            kp.valid[:, None].astype(jnp.uint32),
+                            packed,
+                        ],
+                        axis=1,
                     )
-                    return uvv, packed
+                    return out
 
                 return jax.vmap(one)(imgs, angles)
 
@@ -260,13 +278,12 @@ class VioPipeline:
                 if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
             )
         run = self._detect_fn(imgs.shape)
-        uvv, packed = run(
+        out = np.asarray(run(
             jnp.asarray(imgs), jnp.asarray(angles, jnp.float32)
-        )
-        uvv_np = np.asarray(uvv)
-        uv = uvv_np[:, :, :2]
-        valid = uvv_np[:, :, 2] > 0.5
-        packed_np = np.asarray(packed)
+        ))
+        uv = out[:, :, :2].view(np.float32).astype(np.float64)
+        valid = out[:, :, 2] > 0
+        packed_np = out[:, :, 3:15]
         # every FrameData of this frame shares the BATCHED (C, N, 384)
         # device array — consumers index it inside their own jitted
         # programs (an eager [c] slice would dispatch a device program)
@@ -519,19 +536,16 @@ class VioPipeline:
                         T_WCk, h.astype(T_WCk.dtype)
                     )
                 )(hp_Ck)
-                # pack into TWO output arrays (one i32, one f32): every
-                # separate device->host fetch costs ~16 ms on the remote
-                # runtime, so nine outputs paid ~145 ms/frame
+                # pack into ONE f32 output array: every separate
+                # device->host fetch costs ~16 ms on the remote runtime,
+                # so nine outputs paid ~145 ms/frame (indices are exact in
+                # f32 — landmark/keypoint caps sit far below 2^24)
                 f32c = lambda x: x.astype(f32).reshape(-1)
-                ints = jnp.concatenate(
-                    [jnp.stack(map_rows).reshape(-1).astype(jnp.int32),
-                     st_idx.astype(jnp.int32), mo_idx.astype(jnp.int32)]
-                )
-                flts = jnp.concatenate(
-                    [f32c(jnp.stack(map_ok)), f32c(st_ok), f32c(st_hp),
+                return jnp.concatenate(
+                    [f32c(jnp.stack(map_rows)), f32c(st_idx), f32c(mo_idx),
+                     f32c(jnp.stack(map_ok)), f32c(st_ok), f32c(st_hp),
                      f32c(mo_ok), f32c(mo_hp)]
                 )
-                return ints, flts
 
             self._jit[key] = run
         return self._jit[key]
@@ -580,7 +594,7 @@ class VioPipeline:
             kf_packs = np.zeros((N, 12), np.uint32)
             kf_valid = np.zeros(N, bool)
         run = self._associate_fn()
-        ints_d, flts_d = run(
+        packed_out = run(
             f.T_WS, hp, lm_valid, packs,
             jnp.asarray(np.stack([fd.uv for fd in frame_data])),
             jnp.asarray(np.stack([fd.valid for fd in frame_data])),
@@ -590,13 +604,12 @@ class VioPipeline:
             jnp.asarray(kf_packs), jnp.asarray(kf_valid),
             jnp.asarray(motion_on),
         )
-        ints = np.asarray(ints_d)
-        flts = np.asarray(flts_d)
+        flts = np.asarray(packed_out)
         C = self.num_cams
-        map_rows = ints[:C * N].reshape(C, N)
-        st_idx = ints[C * N:C * N + N]
-        mo_idx = ints[C * N + N:C * N + 2 * N]
         o = 0
+        map_rows = flts[o:o + C * N].reshape(C, N).astype(np.int64); o += C * N
+        st_idx = flts[o:o + N].astype(np.int64); o += N
+        mo_idx = flts[o:o + N].astype(np.int64); o += N
         map_ok = flts[o:o + C * N].reshape(C, N) > 0.5; o += C * N
         st_ok = flts[o:o + N] > 0.5; o += N
         st_hp = flts[o:o + 4 * N].reshape(N, 4); o += 4 * N
@@ -1262,66 +1275,60 @@ class VioPipeline:
                 np.full(int(sel.sum()), 1.0), fd.packed[sel],
             )
 
-    def process_frame(
-        self, t: float, images: List[np.ndarray], depth_images=None
-    ):
+    def _collect_pending(self):
+        """Collect the previous frame's dispatched solve + run its
+        post-solve stages (descriptor refresh, loop closure,
+        marginalisation).  No-op when nothing is pending."""
+        if self._pending is None:
+            return
+        from okvis2x_tpu.utils import timing
+
+        pend = self._pending
+        self._pending = None
+        with timing.Timer("2.5 CollectSolve"):
+            self.est.optimise_gated_collect(pend["h"])
+        # fold a finished background full-graph optimisation in AFTER the
+        # window writeback (collect-then-sync keeps the two corrections
+        # ordered; ≙ ThreadedSlam's synchronise points)
+        self.synchronise_full_graph()
+        self._finish_frame(pend["fid"], pend["t"], pend["is_kf"],
+                           pend["log_idx"])
+
+    def _finish_frame(self, fid: int, t: float, is_kf: bool,
+                      log_idx: int | None = None) -> bool:
+        """Post-solve frame stages: extrinsics/descriptor refresh, state
+        log update, loop closure (keyframes), marginalisation, pruning."""
         from okvis2x_tpu.utils import timing
 
         est = self.est
-        # dual-graph sync point: fold a finished background full-graph
-        # optimisation into the realtime window before extending it
-        self.synchronise_full_graph()
-        with timing.Timer("2.1 AddState"):
-            fid = est.add_state(t)
-        f = est.get_state(fid)
-
-        with timing.Timer("2.2 DetectDescribe"):
-            frame_data = self.detect_and_describe(images, f.T_WS)
-        self.frames[fid] = frame_data
-
-        with timing.Timer("2.3 Associate"):
-            n_map, n_stereo, n_motion = self.associate(fid, frame_data)
-        if n_map >= 8 and self.cfg.pose_refine:
-            with timing.Timer("2.4 PoseOptimise"):
-                est.optimise(iterations=3, pose_only=True)
-                self.reject_outliers(fid)
-        quality = self._tracking_quality(frame_data)
-
-        is_kf = self.need_keyframe(frame_data)
-        est.set_keyframe(fid, is_kf)
-
-        if depth_images is not None:
-            self.attach_depth_priors(fid, depth_images)
-            n_stereo += self.depth_initialize(fid, frame_data, depth_images)
-
-        # solve + in-program chi2 gate + short re-solve in ONE device
-        # execution (≙ the realtime optimisation with interleaved
-        # Frontend::removeOutliers, Frontend.cpp:2398 — freshly
-        # triangulated landmarks can enter as outliers; without the gate a
-        # burst of bad stereo initialisations late in a sequence leaves
-        # too few LM iterations to recover)
-        with timing.Timer("2.6 OptimiseGated"):
-            est.optimise_gated(
-                fid,
-                gate_px=self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3,
-            )
         if est.cfg.do_extrinsics:
             # keep the pipeline's projection extrinsics in sync with the
             # online-calibrated estimate
             self.T_SC = est.T_SC.copy()
-        # refresh landmark descriptors with the freshest observation
-        for fd in frame_data:
-            for k in np.nonzero(fd.lid >= 0)[0]:
-                self.lm_desc[fd.lid[k]] = fd.packed[k]
+        frame_data = self.frames.get(fid)
+        if frame_data is not None:
+            # refresh landmark descriptors with the freshest observation
+            for fd in frame_data:
+                for k in np.nonzero(fd.lid >= 0)[0]:
+                    self.lm_desc[fd.lid[k]] = fd.packed[k]
 
-        # path length + loop closure on keyframes
-        f = est.get_state(fid)
-        if self.states_log:
-            self.path_length += float(
-                np.linalg.norm(f.T_WS[:3] - self.states_log[-1][1][:3])
-            )
+        try:
+            f = est.get_state(fid)
+        except KeyError:
+            f = None
+        if f is not None:
+            if self._last_solved_T is not None:
+                self.path_length += float(
+                    np.linalg.norm(f.T_WS[:3] - self._last_solved_T[:3])
+                )
+            self._last_solved_T = f.T_WS.copy()
+            if log_idx is not None and log_idx < len(self.states_log):
+                # retro-correct the realtime (predicted) log entry with
+                # the solved pose — the bench/ATE path reads solved states
+                self.states_log[log_idx] = (t, f.T_WS.copy())
+
         looped = False
-        if is_kf and self.cfg.do_loop_closures:
+        if is_kf and self.cfg.do_loop_closures and frame_data is not None:
             with timing.Timer("2.8 LoopClosure"):
                 self._record_keyframe(fid, t, frame_data)
                 looped = self._attempt_loop_closure(fid, t, frame_data)
@@ -1336,8 +1343,76 @@ class VioPipeline:
         self.lm_desc = {
             l: d for l, d in self.lm_desc.items() if l in est.lm_index
         }
+        return looped
+
+    def process_frame(
+        self, t: float, images: List[np.ndarray], depth_images=None
+    ):
+        from okvis2x_tpu.utils import timing
+
+        est = self.est
+        if self._pending is None:
+            # dual-graph sync point: fold a finished background full-graph
+            # optimisation into the realtime window before extending it
+            # (with a pending solve this happens inside _collect_pending)
+            self.synchronise_full_graph()
+        with timing.Timer("2.1 AddState"):
+            fid = est.add_state(t)
+        f = est.get_state(fid)
+
+        with timing.Timer("2.2 DetectDescribe"):
+            frame_data = self.detect_and_describe(images, f.T_WS)
+        self.frames[fid] = frame_data
+
+        # association runs against the one-frame-stale map while the
+        # previous solve still executes on device (≙ the reference
+        # frontend matching while optimisationThread_ runs,
+        # ThreadedSlam.cpp:945-960); the 40 px match radius absorbs the
+        # one-frame prediction error
+        with timing.Timer("2.3 Associate"):
+            n_map, n_stereo, n_motion = self.associate(fid, frame_data)
+        if n_map >= 8 and self.cfg.pose_refine:
+            self._collect_pending()  # inline solves need the window fresh
+            with timing.Timer("2.4 PoseOptimise"):
+                est.optimise(iterations=3, pose_only=True)
+                self.reject_outliers(fid)
+        quality = self._tracking_quality(frame_data)
+
+        is_kf = self.need_keyframe(frame_data)
+        est.set_keyframe(fid, is_kf)
         if is_kf:
             self.last_kf_fid = fid
+
+        if depth_images is not None:
+            self.attach_depth_priors(fid, depth_images)
+            n_stereo += self.depth_initialize(fid, frame_data, depth_images)
+
+        # collect the PREVIOUS frame's solve — its device execution
+        # overlapped this frame's detect + associate — then re-predict
+        # this frame's pose from the corrected previous state before
+        # dispatching this frame's solve
+        self._collect_pending()
+        est.repredict_latest()
+
+        # solve + in-program chi2 gate + short re-solve in ONE device
+        # execution (≙ the realtime optimisation with interleaved
+        # Frontend::removeOutliers, Frontend.cpp:2398 — freshly
+        # triangulated landmarks can enter as outliers; without the gate a
+        # burst of bad stereo initialisations late in a sequence leaves
+        # too few LM iterations to recover)
+        gate_px = self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3
+        looped = False
+        if self.cfg.pipelined_solve:
+            with timing.Timer("2.6 DispatchSolve"):
+                h = est.optimise_gated_dispatch(fid, gate_px)
+            self._pending = dict(
+                h=h, fid=fid, t=t, is_kf=is_kf,
+                log_idx=len(self.states_log),
+            )
+        else:
+            with timing.Timer("2.6 OptimiseGated"):
+                est.optimise_gated(fid, gate_px)
+            looped = self._finish_frame(fid, t, is_kf)
 
         f = est.get_state(fid)
         self.states_log.append((t, f.T_WS.copy()))
@@ -1386,9 +1461,10 @@ class VioPipeline:
         return comp_mod.save_map(path, self.est, self.kf_records)
 
     def finish(self):
-        """Dataset end: drain the background full-graph optimisation
-        (≙ ThreadedSlam joining fullGraphOptimisationThread_ before
-        doFinalBa)."""
+        """Dataset end: collect the in-flight window solve and drain the
+        background full-graph optimisation (≙ ThreadedSlam joining
+        fullGraphOptimisationThread_ before doFinalBa)."""
+        self._collect_pending()
         self.synchronise_full_graph(wait=True)
 
     def save_component(self, path: str):
