@@ -119,7 +119,15 @@ class SlidingWindowEstimator:
 
     def __init__(self, config: EstimatorConfig, cameras, T_SC: np.ndarray):
         self.cfg = config
-        self.cams = gn.stack_cameras(cameras)
+        # stacked intrinsics at the estimator dtype: f64 camera leaves
+        # would silently promote an f32 solve's whole dataflow under x64
+        _cdt = jax.dtypes.canonicalize_dtype(config.dtype)
+        self.cams = jax.tree.map(
+            lambda x: x.astype(_cdt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            gn.stack_cameras(cameras),
+        )
         self.T_SC = np.asarray(T_SC, dtype=np.float64)  # (C, 7)
         self.C = self.T_SC.shape[0]
         # online-calibration prior anchored at the initial calibration
@@ -743,9 +751,17 @@ class SlidingWindowEstimator:
             dtype=bool,
         ) if len(self.obs_fid) else np.zeros((0,), bool)
         obs_src = np.nonzero(live)[0]  # problem row -> host obs index
+        if len(obs_src) > Ncap:
+            # degrade, don't die: drop the OLDEST live observations beyond
+            # capacity (obs arrays are append-ordered)
+            logging.warning(
+                "window observations %d exceed capacity %d — dropping "
+                "oldest", len(obs_src), Ncap)
+            obs_src = obs_src[-Ncap:]
+            live = np.zeros_like(live)
+            live[obs_src] = True
         of = self.obs_fid[live]
         n_obs = len(of)
-        assert n_obs <= Ncap, f"{n_obs} observations exceed capacity {Ncap}"
         obs_frame = np.zeros(Ncap, np.int32)
         obs_cam = np.zeros(Ncap, np.int32)
         obs_lm = np.zeros(Ncap, np.int32)
@@ -1633,9 +1649,12 @@ class SlidingWindowEstimator:
 
     # ---------------- runtime re-expansion (≙ expandKeyframe/mergeLandmark)
     def _restore_landmark(self, lid: int) -> bool:
-        """Bring an archived landmark back into the live store."""
+        """Bring an archived landmark back into the live store (refused at
+        capacity — the caller simply restores fewer observations)."""
         if lid in self.lm_index:
             return True
+        if len(self.lm_ids) >= self.cfg.cap_landmarks:
+            return False
         hp = self.arch_lm.pop(lid, None)
         if hp is None:
             return False
@@ -1655,7 +1674,15 @@ class SlidingWindowEstimator:
         restored."""
         f = self._frame_by_id(fid)
         take = np.nonzero(self.arch_obs_fid == fid)[0]
-        if max_restore is not None and len(take) > max_restore:
+        # never restore past the observation capacity (keep headroom for
+        # the next frame's fresh associations)
+        headroom = (self.cfg.cap_obs - len(self.obs_fid)
+                    - min(1024, self.cfg.cap_obs // 4))
+        max_restore = min(
+            max_restore if max_restore is not None else len(take),
+            max(headroom, 0),
+        )
+        if len(take) > max_restore:
             # capacity budget: prefer observations of landmarks that are
             # already live (they couple the expanded frame to the window)
             live_first = sorted(
@@ -1707,6 +1734,32 @@ class SlidingWindowEstimator:
         f = self.archive_frames.pop(fid, None)
         if f is None:
             return False
+        # capacity headroom: the frame joins a window that may already sit
+        # at cap (marginalise only trims at frame boundaries) — archive
+        # the oldest unprotected pose-graph frame first, refuse if none
+        while len(self.frames) >= self.cfg.cap_frames - 1:
+            pg = [
+                fr for fr in self.frames
+                if fr.pose_graph_frame and fr.fid not in self.lc_protected
+            ]
+            if not pg:
+                self.archive_frames[fid] = f
+                return False
+            victim = pg[0]
+            if victim.expanded:
+                gone = self.obs_fid == victim.fid
+                self._archive_obs(gone)
+                victim.expanded = False
+                victim.pose_fixed = True
+            self.archive_frames[victim.fid] = victim
+            self._drop_frame(victim.fid)
+            keep_e = []
+            for e in self.rel_edges:
+                if victim.fid in (e["i"], e["j"]):
+                    self.archive_edges.append(e)
+                else:
+                    keep_e.append(e)
+            self.rel_edges = keep_e
         f.pose_graph_frame = True
         f.pose_fixed = False
         self.frames.append(f)
@@ -1951,7 +2004,8 @@ class SlidingWindowEstimator:
         return self.apply_pose_graph_result(snap["fids"], T_opt)
 
     # --------------------------------------------------------------- final BA
-    def _full_problem(self, use_imu: bool):
+    def _full_problem(self, use_imu: bool, node_slice=None,
+                      fix_margin: int = 0):
         """Assemble the complete-history BA problem: archived + live
         observations re-expanded, marginalisation two-pose edges dropped
         (their information returns as the raw observations), loop/alignment
@@ -1962,10 +2016,17 @@ class SlidingWindowEstimator:
         kept the online linearisation's errors exactly where the final BA
         should remove them).
 
+        `node_slice=(i0, i1)` restricts the problem to that contiguous
+        node range (the segmented final BA's unit of work), with the first
+        and last `fix_margin` in-range nodes pose-fixed as boundary
+        anchors.
+
         Returns (BAProblem, aux dict) or None; shared by `final_ba` and the
         background full-graph optimiser (graph/fullgraph.py).
         """
         nodes, edges = self.pose_graph()
+        if node_slice is not None:
+            nodes = nodes[node_slice[0]:node_slice[1]]
         if len(nodes) < 2:
             return None
         # marginalisation summaries out (observations below carry the info)
@@ -2002,6 +2063,17 @@ class SlidingWindowEstimator:
         obs_fid, obs_cam, obs_lid = obs_fid[ok], obs_cam[ok], obs_lid[ok]
         obs_uv, obs_sigma = obs_uv[ok], obs_sigma[ok]
         n_obs = len(obs_fid)
+        if n_obs > 32768:
+            # bound the compiled shape (the obs-row assembly is the
+            # program's HBM high-water mark); uniform subsampling keeps
+            # every frame represented
+            logging.warning(
+                "final BA: subsampling %d observations to 32768", n_obs)
+            keep = np.linspace(0, n_obs - 1, 32768).astype(int)
+            obs_fid, obs_cam, obs_lid = (
+                obs_fid[keep], obs_cam[keep], obs_lid[keep])
+            obs_uv, obs_sigma = obs_uv[keep], obs_sigma[keep]
+            n_obs = len(obs_fid)
         if n_obs < 10 or nl < 5:
             return None
 
@@ -2077,6 +2149,9 @@ class SlidingWindowEstimator:
         frame_valid[:nf] = True
         pose_fixed = np.zeros(K, bool)
         pose_fixed[0] = True  # gauge
+        if node_slice is not None and fix_margin:
+            pose_fixed[:min(fix_margin, nf)] = True
+            pose_fixed[max(nf - fix_margin, 0):nf] = True
         sb_fixed = np.ones(K, bool)
         # IMU-linked frames estimate speed/bias, softly anchored at the
         # current values (keeps unobserved bias directions bounded)
@@ -2247,21 +2322,71 @@ class SlidingWindowEstimator:
         return dict(problem=p, run=self._full_ba_run_fn(aux, iterations),
                     aux=aux, cams=self.cams)
 
-    def final_ba(self, iterations: int = 15, redo_imu: bool = True) -> float:
+    def final_ba(self, iterations: int = 15, redo_imu: bool = True,
+                 max_nodes: int = 128) -> float:
         """Full-batch bundle adjustment over the whole history
         (≙ ViSlamBackend::doFinalBa, okvis_ceres/src/ViSlamBackend.cpp:2005):
         re-expand archived observations, unfreeze all keyframe poses and
         re-propagate IMU links from raw archived measurements
         (redoPropagationAlways=true, :2036), then jointly optimise every
-        keyframe + speed/bias + landmark and write the result back."""
-        out = self._full_problem(use_imu=redo_imu)
-        if out is None:
-            return 0.0
-        p, aux = out
-        run = self._full_ba_run_fn(aux, iterations)
-        p_opt, cost = run(p, self.cams)
-        self.apply_full_ba_result(aux, p_opt)
-        return float(cost)
+        keyframe + speed/bias + landmark and write the result back.
+
+        Beyond `max_nodes` keyframes the joint dense-Schur program outgrows
+        a single chip's HBM (the reference leans on sparse Ceres here), so
+        the TPU-native path becomes GLOBAL pose graph + SEGMENTED exact BA:
+        one full pose-graph optimisation distributes the loop-closure /
+        odometry corrections over the whole trajectory, then overlapping
+        `max_nodes`-node segments run the complete visual-inertial BA with
+        pose-fixed boundary anchors, sweeping oldest to newest.  Every
+        observation/IMU link is still optimised exactly once at full
+        nonlinearity — only the long-range cross-segment coupling is
+        carried by the pose graph instead of one joint factorisation."""
+        nodes, _ = self.pose_graph()
+        n_nodes = len(nodes)
+        if n_nodes <= max_nodes:
+            out = self._full_problem(use_imu=redo_imu)
+            if out is None:
+                return 0.0
+            p, aux = out
+            run = self._full_ba_run_fn(aux, iterations)
+            p_opt, cost = run(p, self.cams)
+            self.apply_full_ba_result(aux, p_opt)
+            return float(cost)
+
+        # 1. global pose-graph solve (scales: edge-sharded matrix-free PCG)
+        from okvis2x_tpu.graph import posegraph
+
+        snap = self.snapshot_pose_graph()
+        if snap is not None:
+            T_opt, _ = posegraph.optimize_pose_graph(
+                snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                snap["eT"], snap["eS"], iterations=iterations,
+                dtype=self.cfg.dtype,
+            )
+            if np.all(np.isfinite(np.asarray(T_opt))):
+                self.apply_pose_graph_result(snap["fids"], T_opt)
+
+        # 2. segmented exact BA, 25% overlap, margin-anchored
+        step = max(max_nodes * 3 // 4, 1)
+        margin = max(max_nodes // 16, 2)
+        cost = 0.0
+        i0 = 0
+        while i0 < n_nodes:
+            i1 = min(i0 + max_nodes, n_nodes)
+            out = self._full_problem(
+                use_imu=redo_imu, node_slice=(i0, i1),
+                fix_margin=margin if i0 > 0 else 0,
+            )
+            if out is not None:
+                p, aux = out
+                run = self._full_ba_run_fn(aux, iterations)
+                p_opt, seg_cost = run(p, self.cams)
+                self.apply_full_ba_result(aux, p_opt)
+                cost += float(seg_cost)
+            if i1 >= n_nodes:
+                break
+            i0 += step
+        return cost
 
     # ------------------------------------------------------------- outputs
     def get_state(self, fid: Optional[int] = None) -> FrameState:

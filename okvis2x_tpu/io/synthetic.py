@@ -94,27 +94,53 @@ def make_scene(n_points=600, seed=3):
 
 
 def make_circuit_scene(radius=8.0, density=22.0, seed=3, z_lo=3.5, z_hi=6.5,
-                       half_width=4.5, satellites=True):
+                       half_width=4.5, satellites=True, sectors=6):
     """Dot 'ceiling' above the circuit annulus.  Each primary dot carries
     0-2 dimmer satellite dots at fixed 3-D offsets, breaking the rotational
     symmetry of isolated blobs so binary descriptors are distinctive and
-    repeat exactly on revisit."""
+    repeat exactly on revisit.
+
+    With `sectors` > 0 the ceiling's appearance STATISTICS vary around the
+    circuit (density, brightness and satellite richness modulated by
+    angular harmonics) — a statistically uniform dot field is globally
+    ambiguous to ANY bag-of-words place recogniser (every view shares the
+    same word histogram), which tests nothing; real benchmark scenes have
+    sector-distinct appearance."""
     rng = np.random.default_rng(seed)
     area = np.pi * ((radius + half_width) ** 2
                     - max(radius - half_width, 0.0) ** 2)
-    n = int(area * density)
+    n = int(area * density * (1.5 if sectors else 1.0))
     # rejection-free annulus sampling in polar coordinates (area-uniform)
     r_lo2 = max(radius - half_width, 0.0) ** 2
     r_hi2 = (radius + half_width) ** 2
     rr = np.sqrt(rng.uniform(r_lo2, r_hi2, n))
     th = rng.uniform(0, 2 * np.pi, n)
+    if sectors:
+        # angular appearance modulation: density thinning by harmonics
+        w = (0.55 + 0.45 * np.cos(sectors * th / 2.0 + 1.0)
+             * np.sin(th + 0.7))
+        keep = rng.uniform(0, 1, n) < np.clip(0.35 + 0.65 * w, 0.25, 1.0)
+        rr, th = rr[keep], th[keep]
+        n = len(rr)
     pts = np.stack(
         [rr * np.cos(th), rr * np.sin(th), rng.uniform(z_lo, z_hi, n)], -1
     )
     brightness = rng.uniform(0.4, 1.0, n)
     rad = rng.uniform(1.0, 2.0, n)
+    if sectors:
+        # sector-dependent brightness + size profiles
+        brightness = np.clip(
+            brightness * (0.75 + 0.35 * np.sin(th * 2 + 0.3)), 0.25, 1.0)
+        rad = rad * (0.85 + 0.3 * (0.5 + 0.5 * np.cos(th * 3 - 0.5)))
     if satellites:
-        n_sat = rng.integers(0, 3, n)
+        if sectors:
+            # satellite richness varies around the circuit
+            p_sat = np.clip(
+                1.0 + 1.8 * (0.5 + 0.5 * np.sin(th * sectors / 3.0)), 0, 3)
+            n_sat = rng.poisson(p_sat)
+            n_sat = np.minimum(n_sat, 3)
+        else:
+            n_sat = rng.integers(0, 3, n)
         reps = np.repeat(np.arange(n), n_sat)
         if len(reps):
             off = rng.uniform(-0.16, 0.16, (len(reps), 3))
@@ -203,6 +229,7 @@ def generate(
     with_lidar: bool = False,
     with_depth: bool = False,
     gps_rate: float = 5.0,
+    scene_version: int = 2,  # participates in dataset cache keys
     gps_sigma: float = 0.05,
     trajectory: str = "sinusoid",
     fx: float = 280.0,
@@ -254,7 +281,9 @@ def generate(
 
     # scene + frames
     if trajectory == "circuit":
-        pts, bright, radius = make_circuit_scene(density=density, seed=seed)
+        pts, bright, radius = make_circuit_scene(
+            density=density, seed=seed,
+            sectors=6 if scene_version >= 2 else 0)
     else:
         pts, bright, radius = make_scene(n_points, seed)
     t_frames = np.arange(0.3, duration, 1.0 / frame_rate)

@@ -80,7 +80,7 @@ class StereoNet(nn.Module):
             frs = jnp.roll(fr, d, axis=1)
             xs = jax.lax.broadcasted_iota(jnp.int32, frs.shape[:2], 1)
             c = jnp.mean(fl * frs, axis=-1)
-            return jnp.where(xs >= d, c, -1e4)
+            return jnp.where(xs >= d, c, -30.0)
 
         vol = jnp.stack([corr(d) for d in range(d4)], axis=-1)
         vol = AggregationNet()(vol)
@@ -95,9 +95,12 @@ class StereoNet(nn.Module):
             jnp.stack([disp4, ent, jnp.max(vol, axis=-1)], axis=-1)
         )
 
-        # upsample to full res (x4 disparity scaling)
+        # upsample to full res (x4 disparity scaling); log-sigma clipped
+        # so a cold random head cannot overflow exp()
         disp = 4.0 * jax.image.resize(disp4, (H, W), "bilinear")
-        sigma = jnp.exp(jax.image.resize(log_sigma4, (H, W), "bilinear")) + 0.1
+        sigma = jnp.exp(jnp.clip(
+            jax.image.resize(log_sigma4, (H, W), "bilinear"), -4.0, 4.0
+        )) + 0.1
         return disp, sigma
 
 

@@ -66,6 +66,11 @@ class PipelineConfig:
     # fall back to online flat-vocab training
     vocab_path: Optional[str] = None
     p_dbow: float = 0.4
+    # relative candidate gate: a revisit's tf-idf score must stand this
+    # factor above the mean of the retrieved bulk (the absolute p_dbow
+    # scale assumes DBoW2's normalisation; prominence is
+    # scene-self-similarity invariant)
+    p_prominence: float = 1.15
     # RGB-D: per-keypoint depth priors from depth images
     # (≙ ceres::DepthErrorT wiring; sigma(d) = sigma0 + scale * d^2)
     depth_sigma0: float = 0.02
@@ -273,10 +278,20 @@ class VioPipeline:
             T_WC = se3np.se3_multiply(np.asarray(T_WS_pred), self.T_SC[c])
             C_CW = se3np.quat_to_matrix(T_WC[3:7]).T
             g_C = C_CW @ np.array([0.0, 0.0, -1.0])
-            angles.append(
-                float(np.arctan2(g_C[1], g_C[0]))
-                if np.hypot(g_C[0], g_C[1]) > 1e-6 else 0.0
-            )
+            if np.hypot(g_C[0], g_C[1]) > 0.2:
+                # gravity projects strongly into the image: align with it
+                # (≙ Frontend::detectAndDescribe gravity alignment)
+                angles.append(float(np.arctan2(g_C[1], g_C[0])))
+            else:
+                # optical axis near-vertical (ceiling/floor-looking rig):
+                # the gravity projection is numerically meaningless and
+                # swings with millidegree tilt noise, so descriptors of
+                # the SAME view would extract at arbitrary rotations and
+                # never match on revisit.  Align with the world heading
+                # instead — repeatable within the yaw-drift tolerance of
+                # the binary descriptor pattern.
+                e_C = C_CW @ np.array([1.0, 0.0, 0.0])
+                angles.append(float(np.arctan2(e_C[1], e_C[0])))
         run = self._detect_fn(imgs.shape)
         out = np.asarray(run(
             jnp.asarray(imgs), jnp.asarray(angles, jnp.float32)
@@ -563,7 +578,11 @@ class VioPipeline:
         lm_valid = np.zeros(Lcap, bool)
         if nl:
             hp[:nl] = est.hp_W
-            packs[:nl] = np.stack([self.lm_desc[l] for l in lids])
+            # landmarks restored by loop-closure expansion may lack a
+            # pipeline descriptor (zero packed never matches — harmless)
+            zero_d = np.zeros(12, np.uint32)
+            packs[:nl] = np.stack(
+                [self.lm_desc.get(l, zero_d) for l in lids])
             lm_valid[:nl] = True
         f = est.get_state(fid)
         N = cfg.max_keypoints
@@ -868,18 +887,39 @@ class VioPipeline:
             f for f, r in self.kf_records.items()
             if t - r["t"] < cfg.loop_min_gap_s
         }
-        res = self.bow_db.query(words, rec["valid"], exclude=exclude, top=3)
+        res = self.bow_db.query(words, rec["valid"], exclude=exclude, top=8)
         self.bow_db.add(fid, words, rec["valid"])
         # multi-session relocalisation against loaded components first
         # (≙ Frontend.cpp:813-857 multi-session place recognition)
         if self._attempt_relocalisation(fid, words, rec):
             return True
-        if not res or res[0][1] < cfg.p_dbow:
+        if not res:
             return False
-        cand_fid, score = res[0]
-        cand = self.kf_records[cand_fid]
-
-        ver = self._geometric_verify(fid, rec, cand)
+        # candidate policy: BoW PROPOSES, geometry DECIDES.  The top-2
+        # retrievals always go to non-central-RANSAC verification (a true
+        # revisit needs >= loop_min_inliers 3-D-consistent matches against
+        # the candidate's landmark snapshot — chance hits on unrelated
+        # views don't survive that); a third candidate is considered when
+        # its score clears the absolute p_dbow (DBoW2-calibrated) or
+        # stands out from the retrieval bulk.  Trusting the raw tf-idf
+        # scale alone fails on appearance-uniform scenes where every view
+        # shares one word histogram.
+        scores = np.array([s for _, s in res])
+        bulk = float(scores.mean())
+        self._lc_debug = dict(top=float(scores[0]), bulk=bulk, n=len(res))
+        ver = None
+        cand_fid = None
+        for rank, (cf, score) in enumerate(res[:3]):
+            if rank >= 2 and not (
+                    score >= cfg.p_dbow
+                    or (score >= cfg.p_prominence * bulk
+                        and score >= 0.05)):
+                continue
+            cand_fid = cf
+            cand = self.kf_records[cand_fid]
+            ver = self._geometric_verify(fid, rec, cand)
+            if ver is not None:
+                break
         if ver is None:
             return False
         T_WS_est, n_inl, pairs = ver
@@ -922,6 +962,16 @@ class VioPipeline:
         if cand_fid in self.lc_frames:
             return
         budget = max(64, self.est.cfg.cap_obs // 8)
+        # seed descriptors for the landmarks the record re-introduces
+        rec = self.kf_records.get(cand_fid)
+        if rec is not None:
+            for key_l, key_p in (("lid", "packed"), ("lid1", "packed1")):
+                lid_arr = rec.get(key_l)
+                if lid_arr is None:
+                    continue
+                pk = rec[key_p]
+                for k in np.nonzero(lid_arr >= 0)[0]:
+                    self.lm_desc.setdefault(int(lid_arr[k]), pk[k])
         if self.est.add_loopclosure_frame(cand_fid, max_restore=budget):
             self.lc_frames.append(cand_fid)
             while len(self.lc_frames) > self.cfg.num_loopclosure_frames:

@@ -674,11 +674,43 @@ def solve_normal_equations(
     diag = jnp.diag(H_red)
     H_red = H_red + jnp.diag(lam * diag + 1e-12)
 
+    # Jacobi-scaled inverse-multiply.
     # NOTE: jnp.linalg.inv lowers to a fast XLA path on TPU whereas
     # cholesky/triangular_solve cost ~0.4 ms at this size (sequential
-    # panel factorisation); the damped SPD system is well-conditioned
-    # enough for inverse-multiply.
-    dx = jnp.linalg.inv(H_red) @ b_red
+    # panel factorisation).  The raw reduced camera system's condition
+    # number grows with node count (mixed px/rad/m/s units); unscaled f32
+    # inversion degrades visibly beyond ~80 frames (final BA), while the
+    # symmetrically scaled system D H D (unit diagonal) stays solvable
+    # (SURVEY §7.3 hard part 5: f32 + scaling instead of f64).
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(H_red)), 1e-20))
+    Dinv = 1.0 / d
+    Hs = H_red * Dinv[:, None] * Dinv[None, :]
+    bs = b_red * Dinv
+    if P <= 1024:
+        dy = jnp.linalg.inv(Hs) @ bs
+    else:
+        # batch/final-BA scale: XLA's TPU LU factorisation overruns scoped
+        # vmem beyond ~8k unknowns (and its fusion interactions inflate
+        # the whole-program HBM footprint well before that); an O(P^3)
+        # factorisation is the wrong tool anyway — conjugate gradients on
+        # the Jacobi-scaled damped reduced camera system are
+        # bandwidth-bound matvecs the MXU streams at full speed (the
+        # standard large-scale BA recipe: sparse Schur + PCG).
+        def cg_step(state, _):
+            x, r, pv, rs = state
+            Hp = Hs @ pv
+            alpha = rs / jnp.maximum(pv @ Hp, 1e-30)
+            x = x + alpha * pv
+            r = r - alpha * Hp
+            rs_new = r @ r
+            pv = r + (rs_new / jnp.maximum(rs, 1e-30)) * pv
+            return (x, r, pv, rs_new), None
+
+        x0 = jnp.zeros_like(bs)
+        (dy, _, _, _), _ = jax.lax.scan(
+            cg_step, (x0, bs, bs, bs @ bs), None, length=256
+        )
+    dx = dy * Dinv
     dx = jnp.where(jnp.isfinite(dx), dx, jnp.zeros_like(dx))
 
     # back-substitute landmarks; guard rank-deficient blocks (landmarks with

@@ -360,3 +360,143 @@ def test_long_keyframe_spans_chain_merge():
     errs = np.array(errs)
     assert errs[-1] < 0.25, errs
     assert errs.max() < 0.4, errs
+
+
+@pytest.mark.slow
+def test_f32_matches_f64_over_long_run():
+    """SURVEY §7.3 hard part 5: the production TPU path runs the estimator
+    in f32 (+ Jacobi scaling and iterative refinement in the reduced
+    solve); validate that over a 60 s trajectory the f32 ATE stays at the
+    f64 solution's level rather than drifting off numerically."""
+    cams, T_SC = make_rig()
+    sim = simulate(duration=60.0, frame_rate=4.0)
+    rng = np.random.default_rng(21)
+    n_pts = 500
+    pts = np.stack([
+        rng.uniform(-2.0, 26.0, n_pts),
+        rng.uniform(-1.5, 1.5, n_pts),
+        rng.uniform(1.5, 4.0, n_pts),
+    ], -1)
+
+    def run(dtype):
+        cfg = EstimatorConfig(
+            cap_frames=10, num_keyframes=4, num_imu_frames=3,
+            cap_landmarks=512, cap_obs=3072, cap_imu_links=9,
+            max_iterations=5, dtype=dtype,
+        )
+        est = SlidingWindowEstimator(cfg, cams, T_SC)
+        for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+            if t > sim["t_frames"][0] + 0.01:
+                break
+            est.add_imu_measurement(t, w, a)
+        cam = cams[0]
+        lid_by_pt = {}
+        errs = []
+        obs_rng = np.random.default_rng(5)
+        imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+        for k, tf in enumerate(sim["t_frames"]):
+            while (imu_idx < len(sim["t_imu"])
+                   and sim["t_imu"][imu_idx] <= tf + 0.005):
+                est.add_imu_measurement(
+                    sim["t_imu"][imu_idx], sim["gyr"][imu_idx],
+                    sim["acc"][imu_idx])
+                imu_idx += 1
+            fid = est.add_state(tf)
+            T_WS_gt = sim["T_WS_gt"][k]
+            for c in range(2):
+                T_CW = se3.se3_multiply(
+                    se3.se3_inverse(jnp.asarray(T_SC[c])),
+                    se3.se3_inverse(jnp.asarray(T_WS_gt)),
+                )
+                p_C = np.asarray(jax.vmap(
+                    lambda pt: se3.se3_apply(T_CW, pt))(jnp.asarray(pts)))
+                uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+                uv = np.asarray(uv)
+                valid = np.asarray(valid)
+                for i in np.nonzero(valid)[0][:30]:
+                    if i not in lid_by_pt:
+                        hp = np.concatenate(
+                            [pts[i] + obs_rng.normal(0, 0.05, 3), [1.0]])
+                        lid_by_pt[i] = est.add_landmark(hp)
+                    est.add_observation(
+                        fid, c, lid_by_pt[i],
+                        uv[i] + obs_rng.normal(0, 0.5, 2))
+            est.set_keyframe(fid, k % 4 == 0)
+            est.optimise()
+            est.marginalise()
+            errs.append(np.linalg.norm(
+                est.get_state().T_WS[:3] - T_WS_gt[:3]))
+        return np.sqrt(np.mean(np.square(errs)))
+
+    ate64 = run(jnp.float64)
+    ate32 = run(jnp.float32)
+    # f32 must hold the f64 trajectory's error level over the full minute
+    assert ate32 < max(1.5 * ate64, ate64 + 0.02), (ate32, ate64)
+    assert ate32 < 0.3, ate32
+
+
+@pytest.mark.slow
+def test_segmented_final_ba_matches_joint():
+    """Beyond max_nodes the final BA runs global-pose-graph + overlapping
+    exact segments (HBM-bounded); on a trajectory where both paths are
+    feasible the segmented result must match the joint solve's accuracy."""
+    def run_sim(max_nodes):
+        cams, T_SC = make_rig()
+        sim = simulate(duration=5.0)
+        pts = make_landmarks()
+        cfg = EstimatorConfig(
+            cap_frames=10, num_keyframes=4, num_imu_frames=3,
+            cap_landmarks=256, cap_obs=2048, cap_imu_links=9,
+            max_iterations=5,
+        )
+        est = SlidingWindowEstimator(cfg, cams, T_SC)
+        for t, w, a in zip(sim["t_imu"], sim["gyr"], sim["acc"]):
+            if t > sim["t_frames"][0] + 0.01:
+                break
+            est.add_imu_measurement(t, w, a)
+        cam = cams[0]
+        lid_by_pt = {}
+        obs_rng = np.random.default_rng(13)
+        imu_idx = np.searchsorted(sim["t_imu"], sim["t_frames"][0] + 0.01)
+        for k, tf in enumerate(sim["t_frames"]):
+            while (imu_idx < len(sim["t_imu"])
+                   and sim["t_imu"][imu_idx] <= tf + 0.005):
+                est.add_imu_measurement(
+                    sim["t_imu"][imu_idx], sim["gyr"][imu_idx],
+                    sim["acc"][imu_idx])
+                imu_idx += 1
+            fid = est.add_state(tf)
+            T_WS_gt = sim["T_WS_gt"][k]
+            for c in range(2):
+                T_CW = se3.se3_multiply(
+                    se3.se3_inverse(jnp.asarray(T_SC[c])),
+                    se3.se3_inverse(jnp.asarray(T_WS_gt)),
+                )
+                p_C = np.asarray(jax.vmap(
+                    lambda pt: se3.se3_apply(T_CW, pt))(jnp.asarray(pts)))
+                uv, valid = pinhole.project(cam, jnp.asarray(p_C))
+                uv, valid = np.asarray(uv), np.asarray(valid)
+                for i in np.nonzero(valid)[0][:30]:
+                    if i not in lid_by_pt:
+                        hp = np.concatenate(
+                            [pts[i] + obs_rng.normal(0, 0.05, 3), [1.0]])
+                        lid_by_pt[i] = est.add_landmark(hp)
+                    est.add_observation(
+                        fid, c, lid_by_pt[i],
+                        uv[i] + obs_rng.normal(0, 0.5, 2))
+            est.set_keyframe(fid, k % 3 == 0)
+            est.optimise()
+            est.marginalise()
+        cost = est.final_ba(iterations=8, max_nodes=max_nodes)
+        assert np.isfinite(cost)
+        fts, fTs = est.full_trajectory()
+        errs = []
+        for t, T in zip(fts, fTs):
+            k = int(np.argmin(np.abs(sim["t_frames"] - t)))
+            errs.append(np.linalg.norm(T[:3] - sim["T_WS_gt"][k][:3]))
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    ate_joint = run_sim(max_nodes=512)  # joint path
+    ate_seg = run_sim(max_nodes=10)  # forces 3+ overlapping segments
+    assert ate_seg < max(2.0 * ate_joint, ate_joint + 0.03), (
+        ate_seg, ate_joint)

@@ -73,6 +73,7 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
     params = dict(
         duration=float(duration), frame_rate=20.0, imu_rate=200.0,
         width=752, height=480, fx=460.0, density=22.0, seed=3,
+        scene_version=2,
     )
     ds_dir = ensure_dataset(params, verbose)
     ds = euroc.EurocDataset(ds_dir, num_cams=2)
