@@ -157,10 +157,38 @@ def disparity_to_depth(
     )
 
 
+_NET = None  # (net, params) once loaded; False when no artifact exists
+
+
+def _trained_net():
+    """Lazy-load the trained StereoNet artifact shipped under resources/
+    (tools/train_stereo.py); caches the miss so the check is one stat."""
+    global _NET
+    if _NET is None:
+        from okvis2x_tpu.models import stereo_net
+
+        params, _ = stereo_net.load_params()
+        if params is None:
+            _NET = False
+        else:
+            _NET = (stereo_net.StereoNet(max_disp=64), params)
+    return _NET or None
+
+
 def stereo_depth(
     left: jax.Array, right: jax.Array, fx: float, baseline: float,
-    max_disp: int = 64,
+    max_disp: int = 64, engine: str = "auto",
 ) -> StereoDepth:
+    """Engine 'auto' uses the trained StereoNet when its weight artifact is
+    shipped (≙ the reference defaulting to its TorchScript model and
+    falling back when absent), else the training-free census path."""
+    net = _trained_net() if engine in ("auto", "net") else None
+    if net is not None:
+        mod, params = net
+        disp, sigma_d = mod.apply(params, left, right)
+        # net output is dense: gate by the disparity search range only
+        valid = (disp > 0.5) & (disp < max_disp - 1)
+        return disparity_to_depth(disp, sigma_d, valid, fx, baseline)
     disp, sigma_d, valid = census_stereo(left, right, max_disp=max_disp)
     return disparity_to_depth(disp, sigma_d, valid, fx, baseline)
 

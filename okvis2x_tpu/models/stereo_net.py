@@ -16,6 +16,7 @@ can be loaded via `load_params`.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -115,8 +116,31 @@ def init_stereo_net(
     return net, params
 
 
-def load_params(path: str):
-    """Load trained parameters (orbax/msgpack checkpoint) when available."""
-    import orbax.checkpoint as ocp
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "stereo_net.npz"
+)
 
-    return ocp.StandardCheckpointer().restore(path)
+
+def load_params(path: str = None):
+    """Load trained parameters from the flat npz written by
+    tools/train_stereo.py (keys are '/'-joined tree paths; __meta_* keys
+    carry held-out eval metrics).  Returns (params, meta) or (None, {})
+    when no artifact exists (callers fall back to census)."""
+    import numpy as np
+
+    path = path or DEFAULT_WEIGHTS
+    if not os.path.exists(path):
+        return None, {}
+    raw = np.load(path)
+    params: dict = {}
+    meta = {}
+    for k in raw.files:
+        if k.startswith("__meta_"):
+            meta[k[7:]] = float(raw[k])
+            continue
+        parts = [p for p in k.split("/") if p]
+        d = params
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(raw[k])
+    return params, meta

@@ -55,12 +55,44 @@ def make_pair(cam_np, rng, scenes, H, W, fx, baseline):
             disp.astype(np.float32))
 
 
+def make_pool(cam_np, rng, scenes, H, W, fx, baseline, n, noise=0.06):
+    """Pre-render n CLEAN stereo pairs (noise added at sampling time): on a
+    2-core host rendering dominates training, so the pool is rendered once
+    and each step only draws fresh sensor noise + gain jitter."""
+    from okvis2x_tpu.core import se3np
+    from okvis2x_tpu.io import synthetic
+
+    ls, rs, gs = [], [], []
+    for _ in range(n):
+        pts, bright, rad = scenes[rng.integers(0, len(scenes))]
+        center = pts.mean(0)
+        pos = center + rng.uniform([-5, -5, -center[2] - 0.5],
+                                   [5, 5, -center[2] + 1.0])
+        yaw = rng.uniform(0, 2 * np.pi)
+        q = np.array([0, 0, np.sin(yaw / 2), np.cos(yaw / 2)])
+        T_WC0 = np.r_[pos, q]
+        dx_W = se3np.quat_to_matrix(q) @ np.array([baseline, 0, 0])
+        T_WC1 = np.r_[pos + dx_W, q]
+        seed = int(rng.integers(0, 1 << 31))
+        ls.append(synthetic.render_image(
+            cam_np, T_WC0, pts, bright, rad, noise=0.0, seed=seed))
+        rs.append(synthetic.render_image(
+            cam_np, T_WC1, pts, bright, rad, noise=0.0, seed=seed))
+        depth = synthetic.render_depth(cam_np, T_WC0, pts)
+        gs.append(np.where(
+            depth > 0.1, fx * baseline / np.maximum(depth, 0.1), 0.0))
+    return (np.stack(ls).astype(np.float32),
+            np.stack(rs).astype(np.float32),
+            np.stack(gs).astype(np.float32))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "okvis2x_tpu", "resources",
         "stereo_net.npz"))
     ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--pool", type=int, default=320)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--width", type=int, default=256)
@@ -116,13 +148,20 @@ def main():
         updates, o = tx.update(g, o)
         return optax.apply_updates(p, updates), o, l
 
+    t0 = time.time()
+    pool_l, pool_r, pool_g = make_pool(
+        cam_np, rng, scenes, H, W, fx, baseline, args.pool)
+    print(f"rendered pool of {args.pool} pairs in {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
     def batch():
-        ls, rs, gs = [], [], []
-        for _ in range(args.batch):
-            l, r, g = make_pair(cam_np, rng, scenes, H, W, fx, baseline)
-            ls.append(l); rs.append(r); gs.append(g)
-        return (jnp.asarray(np.stack(ls)), jnp.asarray(np.stack(rs)),
-                jnp.asarray(np.stack(gs)))
+        idx = rng.integers(0, args.pool, args.batch)
+        gain = rng.uniform(0.8, 1.15, (args.batch, 1, 1)).astype(np.float32)
+        nl = rng.normal(0, 0.06, (args.batch, H, W)).astype(np.float32)
+        nr = rng.normal(0, 0.06, (args.batch, H, W)).astype(np.float32)
+        return (jnp.asarray(np.clip(pool_l[idx] * gain + nl, 0, 1)),
+                jnp.asarray(np.clip(pool_r[idx] * gain + nr, 0, 1)),
+                jnp.asarray(pool_g[idx]))
 
     t0 = time.time()
     for it in range(args.steps):
