@@ -39,7 +39,7 @@ class FullGraphOptimizer:
 
     def __init__(self, iterations: int = 15, dtype=jnp.float64,
                  pcg_threshold: int = 256, mesh=None,
-                 full_ba_threshold: int = 512):
+                 full_ba_threshold: int = 128):
         """`pcg_threshold`: above this many keyframes the dense (6K)^2
         normal-equation solve is replaced by the matrix-free edge-sharded
         PCG solver (parallel/dist_posegraph), optionally distributed over
@@ -51,7 +51,10 @@ class FullGraphOptimizer:
         re-propagated IMU links + kept loop/alignment edges — matching the
         reference's `fullGraph_` (ViSlamBackend.hpp:724-743, optimiseFullGraph
         :1971) instead of a pose-graph-only approximation; above it, the
-        pose-graph PCG keeps the latency bounded."""
+        pose-graph PCG keeps the latency bounded.  The threshold is sized
+        to the dense-row Schur program's HBM high-water mark (the
+        (N,2,K,15) row assembly pads its minor dim to 128 lanes: K=128 /
+        N=32768 peaks ~4 GB of the 16 GB chip)."""
         self.iterations = iterations
         self.dtype = dtype
         self.pcg_threshold = pcg_threshold
@@ -100,10 +103,22 @@ class FullGraphOptimizer:
                 self._full_snap = full
 
                 def work_full():
-                    p_opt, cost = full["run"](full["problem"], full["cams"])
-                    import jax
+                    try:
+                        p_opt, cost = full["run"](
+                            full["problem"], full["cams"]
+                        )
+                        import jax
 
-                    jax.block_until_ready(p_opt.T_WS)
+                        jax.block_until_ready(p_opt.T_WS)
+                    except Exception:  # noqa: BLE001 — degrade, don't die
+                        import logging
+
+                        logging.exception(
+                            "background full-graph BA failed; realtime "
+                            "window continues uncorrected until the next "
+                            "dispatch"
+                        )
+                        return
                     with self._lock:
                         self._full_result = p_opt
                         self._cost = float(cost)
@@ -121,23 +136,29 @@ class FullGraphOptimizer:
         self._snap = snap
 
         def work():
-            if snap["T"].shape[0] > self.pcg_threshold:
-                from okvis2x_tpu.parallel import dist_posegraph
+            try:
+                if snap["T"].shape[0] > self.pcg_threshold:
+                    from okvis2x_tpu.parallel import dist_posegraph
 
-                T_opt, cost = dist_posegraph.optimize_pose_graph_pcg(
-                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                    snap["eT"], snap["eS"], iterations=self.iterations,
-                    mesh=self.mesh, dtype=self.dtype,
-                )
-            else:
-                from okvis2x_tpu.graph import posegraph
+                    T_opt, cost = dist_posegraph.optimize_pose_graph_pcg(
+                        snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                        snap["eT"], snap["eS"], iterations=self.iterations,
+                        mesh=self.mesh, dtype=self.dtype,
+                    )
+                else:
+                    from okvis2x_tpu.graph import posegraph
 
-                T_opt, cost = posegraph.optimize_pose_graph(
-                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                    snap["eT"], snap["eS"], iterations=self.iterations,
-                    dtype=self.dtype,
-                )
-            T_opt = np.asarray(T_opt)
+                    T_opt, cost = posegraph.optimize_pose_graph(
+                        snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                        snap["eT"], snap["eS"], iterations=self.iterations,
+                        dtype=self.dtype,
+                    )
+                T_opt = np.asarray(T_opt)
+            except Exception:  # noqa: BLE001 — degrade, don't die
+                import logging
+
+                logging.exception("background pose-graph solve failed")
+                return
             with self._lock:
                 self._result = T_opt
                 self._cost = float(cost)

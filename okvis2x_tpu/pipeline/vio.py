@@ -84,6 +84,11 @@ class PipelineConfig:
     # re-observation + merging (≙ okvis2.yaml numLoopClosureFrames=3,
     # ViSlamBackend::addLoopClosureFrame)
     num_loopclosure_frames: int = 3
+    # run the keyframe BoW query + RANSAC verification on a worker thread
+    # (the frame path only records keyframes and applies finished
+    # proposals); requires a pretrained vocabulary — with online vocab
+    # training or loaded components the synchronous path is used
+    async_place_recognition: bool = True
     # dual-graph mode: optimise the full pose graph on a background thread
     # and synchronise on a later frame (≙ ThreadedSlam's
     # fullGraphOptimisationThread_, ThreadedSlam.cpp:949-960); synchronous
@@ -184,6 +189,23 @@ class VioPipeline:
                 )
         self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
         self.n_loop_closures = 0
+        # async place recognition: BoW query + RANSAC verification on a
+        # worker thread, graph surgery applied at the next poll (≙ the
+        # reference's posegraph/loop-closure thread, ThreadedSlam.cpp:878)
+        self._lc_thread = None
+        self._lc_queue = None
+        self._lc_results = None
+        if cfg.do_loop_closures and cfg.async_place_recognition:
+            import queue as queue_mod
+            import threading
+
+            self._lc_queue = queue_mod.Queue()
+            self._lc_results = queue_mod.Queue()
+            self._lc_thread = threading.Thread(
+                target=self._lc_worker_loop, name="place-recognition",
+                daemon=True,
+            )
+            self._lc_thread.start()
         # multi-session: loaded components (each with its own BoW database,
         # ≙ Frontend::componentDBows_) + relocalisation status
         self.components: List[dict] = []
@@ -871,30 +893,52 @@ class VioPipeline:
 
     def _attempt_loop_closure(self, fid: int, t: float, frame_data):
         """(≙ Frontend place recognition + verifyRecognisedPlace +
-        ViSlamBackend::attemptLoopClosure drift gate)."""
-        from okvis2x_tpu.frontend import bow, ransac
-
+        ViSlamBackend::attemptLoopClosure drift gate) — synchronous path:
+        propose (BoW + RANSAC) and accept (graph surgery) inline."""
         cfg = self.cfg
         self._maybe_train_vocab()
         if self.vocab is None or fid not in self.kf_records:
             return False
         rec = self.kf_records[fid]
-        words = np.asarray(
-            bow.assign_packed(rec["packed"], rec["valid"], self.vocab)
-        )
-        rec["words"] = words
         exclude = {
             f for f, r in self.kf_records.items()
             if t - r["t"] < cfg.loop_min_gap_s
         }
+        try:
+            cur_p = self.est.get_state(fid).T_WS[:3]
+        except KeyError:
+            cur_p = rec["T_WS"][:3]
+        prop = self._lc_propose(fid, rec, exclude, cur_p)
+        if prop == "relocalised":
+            return True
+        if prop is None:
+            return False
+        return self._lc_accept(prop)
+
+    def _lc_propose(self, fid: int, rec: dict, exclude: set, cur_p):
+        """Place-recognition proposal: vocabulary assignment, BoW query +
+        database add, candidate policy, non-central-RANSAC verification.
+        Touches NO estimator state (safe on the recognition worker thread;
+        `cur_p` is the enqueue-time position estimate used only for the
+        RANSAC depth prior).  Returns a proposal dict, the sentinel
+        "relocalised" (multi-session hit applied inline — sync path only),
+        or None."""
+        from okvis2x_tpu.frontend import bow
+
+        cfg = self.cfg
+        words = np.asarray(
+            bow.assign_packed(rec["packed"], rec["valid"], self.vocab)
+        )
+        rec["words"] = words
         res = self.bow_db.query(words, rec["valid"], exclude=exclude, top=8)
         self.bow_db.add(fid, words, rec["valid"])
         # multi-session relocalisation against loaded components first
-        # (≙ Frontend.cpp:813-857 multi-session place recognition)
-        if self._attempt_relocalisation(fid, words, rec):
-            return True
+        # (≙ Frontend.cpp:813-857 multi-session place recognition);
+        # mutates the estimator, so components force the synchronous path
+        if self.components and self._attempt_relocalisation(fid, words, rec):
+            return "relocalised"
         if not res:
-            return False
+            return None
         # candidate policy: BoW PROPOSES, geometry DECIDES.  The top-2
         # retrievals always go to non-central-RANSAC verification (a true
         # revisit needs >= loop_min_inliers 3-D-consistent matches against
@@ -916,24 +960,44 @@ class VioPipeline:
                         and score >= 0.05)):
                 continue
             cand_fid = cf
-            cand = self.kf_records[cand_fid]
-            ver = self._geometric_verify(fid, rec, cand)
+            cand = self.kf_records.get(cand_fid)
+            if cand is None:
+                continue
+            ver = self._geometric_verify(fid, rec, cand, cur_p)
             if ver is not None:
                 break
         if ver is None:
-            return False
+            return None
         T_WS_est, n_inl, pairs = ver
+        return dict(
+            fid=fid, cand_fid=cand_fid, T_WS_est=T_WS_est, n_inl=n_inl,
+            pairs=pairs,
+        )
+
+    def _lc_accept(self, prop: dict) -> bool:
+        """Accepted-proposal graph surgery (main thread only): drift-budget
+        gate against the CURRENT estimate, loop edge, loop-closure frame
+        restoration, landmark merges, full-graph dispatch
+        (≙ ViSlamBackend::attemptLoopClosure, ViSlamBackend.cpp:2361-2556)."""
+        cfg = self.cfg
+        fid, cand_fid = prop["fid"], prop["cand_fid"]
+        rec = self.kf_records.get(fid)
+        cand = self.kf_records.get(cand_fid)
+        if rec is None or cand is None:
+            return False
+        T_WS_est, n_inl, pairs = prop["T_WS_est"], prop["n_inl"], prop["pairs"]
         # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
-        T_WS_cur = self.est.get_state(fid).T_WS
+        try:
+            T_WS_cur = self.est.get_state(fid).T_WS
+        except KeyError:
+            T_WS_cur = rec["T_WS"]
         correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
         dist = max(self.path_length - cand["path"], 0.5)
         budget = cfg.drift_percentage / 100.0 * dist + 0.2
         if correction > budget:
             return False
-        T_cand_cur = np.asarray(
-            se3.se3_multiply(
-                se3.se3_inverse(jnp.asarray(cand["T_WS"])), jnp.asarray(T_WS_est)
-            )
+        T_cand_cur = se3np.se3_multiply(
+            se3np.se3_inverse(np.asarray(cand["T_WS"])), np.asarray(T_WS_est)
         )
         sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
         if self.cfg.async_loop_closure:
@@ -954,6 +1018,74 @@ class VioPipeline:
             self._refresh_kf_poses()
             return True
         return False
+
+    # -- asynchronous place recognition (keyframe query/verify off the
+    # frame path, ≙ the reference's posegraphThread running attemptLoop-
+    # Closures concurrently with the realtime optimisation,
+    # ThreadedSlam.cpp:878-943; graph surgery stays on the frame thread)
+    def _lc_worker_loop(self):
+        import logging
+
+        while True:
+            item = self._lc_queue.get()
+            if item is None:
+                return
+            try:
+                rec = self.kf_records.get(item["fid"])
+                if rec is None:
+                    continue
+                if item["query"]:
+                    prop = self._lc_propose(
+                        item["fid"], rec, item["exclude"], item["cur_p"]
+                    )
+                else:
+                    # backlogged: index the keyframe, skip verification
+                    from okvis2x_tpu.frontend import bow
+
+                    words = np.asarray(bow.assign_packed(
+                        rec["packed"], rec["valid"], self.vocab))
+                    rec["words"] = words
+                    self.bow_db.add(item["fid"], words, rec["valid"])
+                    prop = None
+                if isinstance(prop, dict):
+                    self._lc_results.put(prop)
+            except Exception:  # noqa: BLE001 — recognition must not kill SLAM
+                logging.exception("place-recognition worker failed")
+
+    def _lc_enqueue(self, fid: int, t: float):
+        exclude = {
+            f for f, r in self.kf_records.items()
+            if t - r["t"] < self.cfg.loop_min_gap_s
+        }
+        try:
+            cur_p = self.est.get_state(fid).T_WS[:3].copy()
+        except KeyError:
+            cur_p = self.kf_records[fid]["T_WS"][:3].copy()
+        self._lc_queue.put(dict(
+            fid=fid, t=t, exclude=exclude, cur_p=cur_p,
+            # under backlog, keep indexing keyframes but skip the RANSAC
+            # (recall degrades gracefully instead of the queue growing)
+            query=self._lc_queue.qsize() < 3,
+        ))
+
+    def _lc_poll(self) -> bool:
+        """Apply finished recognition results (main thread)."""
+        looped = False
+        while not self._lc_results.empty():
+            try:
+                prop = self._lc_results.get_nowait()
+            except Exception:  # noqa: BLE001 — queue.Empty race
+                break
+            looped = self._lc_accept(prop) or looped
+        return looped
+
+    def _lc_drain(self):
+        """Finish all queued recognition work and stop the worker."""
+        if self._lc_thread is None:
+            return
+        self._lc_queue.put(None)
+        self._lc_thread.join(timeout=60.0)
+        self._lc_thread = None
 
     def _hold_loopclosure_frame(self, cand_fid: int):
         """Bring the recognised keyframe (and its landmarks) back into the
@@ -997,13 +1129,15 @@ class VioPipeline:
         self.n_landmarks_merged += merged
         return merged
 
-    def _geometric_verify(self, fid: int, rec: dict, cand: dict):
+    def _geometric_verify(self, fid: int, rec: dict, cand: dict, cur_p=None):
         """Packed descriptor match (both cameras) + non-central RANSAC of
         the current keyframe rig against a candidate record's landmark
         snapshot (≙ verifyRecognisedPlace, Frontend.cpp:258-604, with
         opengv GP3P through FrameNoncentralAbsoluteAdapter).  Returns
         (T_WS in the candidate's world frame, inlier count, inlier
-        (cam, cur_kp, cand_kp) pairs) or None."""
+        (cam, cur_kp, cand_kp) pairs) or None.  `cur_p` is the current
+        position estimate for the RANSAC depth prior (passed in so the
+        recognition worker never reads estimator state)."""
         from okvis2x_tpu.frontend import ransac
 
         cfg = self.cfg
@@ -1054,9 +1188,9 @@ class VioPipeline:
         rays_S = np.concatenate(rays_l)
         origins = np.concatenate(orig_l)
         pts = np.concatenate(pts_l)
-        depth_guess = np.linalg.norm(
-            pts - self.est.get_state(fid).T_WS[:3], axis=-1
-        )
+        if cur_p is None:
+            cur_p = self.est.get_state(fid).T_WS[:3]
+        depth_guess = np.linalg.norm(pts - cur_p, axis=-1)
         # fixed-capacity padded jit: one compiled RANSAC program
         cap = 2 * cfg.max_keypoints
         n = min(len(pts), cap)
@@ -1378,12 +1512,25 @@ class VioPipeline:
                 self.states_log[log_idx] = (t, f.T_WS.copy())
 
         looped = False
+        use_async_pr = (
+            self._lc_thread is not None and self.vocab is not None
+            and not self.components
+        )
+        if self.cfg.do_loop_closures and use_async_pr:
+            # apply recognition results as they land (any frame, ~2-3
+            # frames after their keyframe was enqueued)
+            with timing.Timer("2.8 LoopClosure"):
+                looped = self._lc_poll()
         if is_kf and self.cfg.do_loop_closures and frame_data is not None:
             with timing.Timer("2.8 LoopClosure"):
                 self._record_keyframe(fid, t, frame_data)
-                looped = self._attempt_loop_closure(fid, t, frame_data)
-                if looped:
-                    est.optimise()
+                if use_async_pr:
+                    self._lc_enqueue(fid, t)
+                else:
+                    looped = self._attempt_loop_closure(fid, t, frame_data) \
+                        or looped
+        if looped:
+            est.optimise()
 
         with timing.Timer("2.9 Marginalise"):
             est.marginalise()
@@ -1511,10 +1658,15 @@ class VioPipeline:
         return comp_mod.save_map(path, self.est, self.kf_records)
 
     def finish(self):
-        """Dataset end: collect the in-flight window solve and drain the
-        background full-graph optimisation (≙ ThreadedSlam joining
+        """Dataset end: collect the in-flight window solve, drain the
+        place-recognition worker, apply its remaining proposals, and join
+        the background full-graph optimisation (≙ ThreadedSlam joining
         fullGraphOptimisationThread_ before doFinalBa)."""
         self._collect_pending()
+        self._lc_drain()
+        if self._lc_results is not None and self._lc_poll():
+            self.est.optimise()
+            self.full_graph.dispatch(self.est)
         self.synchronise_full_graph(wait=True)
 
     def save_component(self, path: str):

@@ -57,7 +57,7 @@ def ensure_dataset(params: dict, verbose: bool = True) -> str:
 
 
 def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
-        platform=None):
+        platform=None, save_traj=None):
     from okvis2x_tpu.utils import jaxconfig, timing
 
     jaxconfig.setup()
@@ -150,6 +150,26 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
     t_fba = time.perf_counter() - t_fba0
     ate_final = trajectory_io.ate_rmse(fts, fTs[:, :3], gt[:, 0], gt[:, 1:4])
 
+    if save_traj:
+        # offline diagnosis artifact: online + final trajectories, ground
+        # truth, and the pose-graph structure (loop edges included)
+        nodes, edges = vio.est.pose_graph()
+        np.savez_compressed(
+            save_traj,
+            ts_online=ts, T_online=Ts, fts=fts, fTs=fTs, gt=gt,
+            node_fid=np.array([f.fid for f in nodes]),
+            node_t=np.array([f.timestamp for f in nodes]),
+            node_T=np.stack([f.T_WS for f in nodes]),
+            edge_i=np.array([e["i"] for e in edges]),
+            edge_j=np.array([e["j"] for e in edges]),
+            edge_T=np.stack([e["T_ij"] for e in edges])
+            if edges else np.zeros((0, 7)),
+            edge_marg=np.array([bool(e.get("marg")) for e in edges]),
+            edge_si0=np.array([e["sqrt_info"][0, 0] for e in edges]),
+        )
+        if verbose:
+            print(f"saved trajectories -> {save_traj}", file=sys.stderr)
+
     steady_s = (t_end - t_steady) if t_steady else (t_end - t_start)
     n_steady = n - (n_steady0 if t_steady else 0)
     fps = n_steady / steady_s if steady_s > 0 else 0.0
@@ -165,6 +185,7 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
         ate_final_m=round(float(ate_final), 4),
         loop_closures=vio.n_loop_closures,
         landmarks_merged=vio.n_landmarks_merged,
+        keyframes=len(vio.est.pose_graph()[0]),
         final_ba_s=round(t_fba, 1),
         total_wall_s=round(t_end - t_start, 1),
     )
@@ -180,9 +201,12 @@ if __name__ == "__main__":
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--warmup", type=int, default=60)
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    ap.add_argument("--save-traj", default=None,
+                    help="dump trajectories + pose graph to this .npz")
     args = ap.parse_args()
     res = run(
         duration=args.duration, warmup_frames=args.warmup,
         max_frames=args.max_frames, platform=args.platform,
+        save_traj=args.save_traj,
     )
     print(json.dumps(res))
