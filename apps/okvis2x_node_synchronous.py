@@ -111,17 +111,18 @@ def main(argv=None):
             continue
         if args.gps_topic and msg.topic == args.gps_topic:
             m = codec.decode_navsatfix(msg.raw)
-            # geodetic → local ENU about the first fix (equirectangular —
-            # adequate over SLAM-scale extents)
+            # geodetic → local ENU about the first fix (shared WGS-84
+            # helper: exact ECEF differencing, not fixed-radius scaling)
+            from okvis2x_tpu.io.xdataset import geodetic_to_enu
+
             lla = np.array([m.latitude, m.longitude, m.altitude])
             if gps_origin is None:
                 gps_origin = lla
-            lat0 = np.deg2rad(gps_origin[0])
-            p_G = np.array([
-                np.deg2rad(lla[1] - gps_origin[1]) * 6378137.0 * np.cos(lat0),
-                np.deg2rad(lla[0] - gps_origin[0]) * 6356752.3,
-                lla[2] - gps_origin[2],
-            ])
+            p_G = geodetic_to_enu(
+                np.deg2rad(lla[0]), np.deg2rad(lla[1]), lla[2],
+                np.deg2rad(gps_origin[0]), np.deg2rad(gps_origin[1]),
+                gps_origin[2],
+            )
             sigma = float(np.sqrt(max(m.position_covariance[0], 1e-4)))
             sub.target.on_gps(m.t_ns * 1e-9, p_G, sigma)
             continue

@@ -77,6 +77,16 @@ class EstimatorConfig:
     cap_icp: int = 0
     keypoint_sigma_px: float = 0.8
     max_iterations: int = 10
+    # realtime solve budget (≙ okvis2.yaml realtime_time_limit 0.035 +
+    # realtime_min_iterations, enforced by CeresIterationCallback,
+    # okvis_ceres/include/okvis/ceres/CeresIterationCallback.hpp:80).
+    # Iteration counts are compile-time constants here, so instead of
+    # aborting mid-solve the estimator ADAPTS the next solve's iteration
+    # bucket (max_iterations -> ... -> min_iterations) whenever the
+    # measured solve wall time's EMA overruns the budget, and steps back
+    # up when there is slack.  0 disables adaptation.
+    realtime_time_limit: float = 0.0
+    min_iterations: int = 3
     imu: pre.ImuParams = pre.ImuParams()
     dtype: object = jnp.float64
     # online extrinsics calibration (≙ CameraParameters::
@@ -136,6 +146,17 @@ class SlidingWindowEstimator:
         self.frames: List[FrameState] = []
         self._next_fid = 0
         self._next_lid = 0
+
+        # realtime-budget adaptation state (≙ CeresIterationCallback):
+        # current iteration bucket + solve-time EMA + overrun counter
+        self._rt_iters = config.max_iterations
+        self._rt_ema = 0.0
+        self.n_budget_overruns = 0
+
+        # deferred two-pose-edge jobs (deferred pipeline: the pipeline
+        # drains these into its prefetch batch; apply_pending_edges)
+        self.defer_edge_jobs = False
+        self.pending_edge_jobs: List[dict] = []
 
         # landmark store: lid -> row index in dense arrays
         self.lm_ids: List[int] = []
@@ -1084,6 +1105,8 @@ class SlidingWindowEstimator:
                     p3.sb.reshape(-1).astype(pdt),
                     p3.hp_W.reshape(-1).astype(pdt),
                     out.astype(pdt),
+                    p3.T_SC.reshape(-1).astype(pdt),
+                    p3.T_GW.reshape(-1).astype(pdt),
                     cost.reshape(1).astype(pdt),
                 ])
                 return p3, packed
@@ -1143,7 +1166,7 @@ class SlidingWindowEstimator:
         or reordering waits until after collect."""
         from okvis2x_tpu.utils import timing
 
-        iters = iterations or self.cfg.max_iterations
+        iters = iterations or self._rt_iters
         if self.frames:
             self._check_gps_dropout(self.frames[-1].timestamp)
         with timing.Timer("3.1 BuildProblem"):
@@ -1168,12 +1191,17 @@ class SlidingWindowEstimator:
     def optimise_gated_collect(self, h: dict):
         """Fetch + write back a dispatched gated solve: poses/speed-bias
         for the snapshot frames, landmarks for the snapshot rows, and
-        removal of the chi2-flagged observations.  Returns
+        removal of the chi2-flagged observations.  Accepts a pre-fetched
+        numpy result in h["packed_np"] (background prefetch thread);
+        otherwise fetches h["packed"] itself.  Returns
         (cost, n_outliers)."""
         from okvis2x_tpu.utils import timing
 
         with timing.Timer("3.3 Readback"):
-            packed = np.asarray(h["packed"])  # ONE device->host transfer
+            # ONE device->host transfer (unless prefetched off-thread)
+            packed = h.get("packed_np")
+            if packed is None:
+                packed = np.asarray(h["packed"])
             K = self.cfg.cap_frames
             L = self.cfg.cap_landmarks
             o = 0
@@ -1181,6 +1209,9 @@ class SlidingWindowEstimator:
             sb = packed[o:o + K * 9].reshape(K, 9); o += K * 9
             hp = packed[o:o + L * 4].reshape(L, 4); o += L * 4
             out_mask = packed[o:o + self.cfg.cap_obs] > 0.5
+            o += self.cfg.cap_obs
+            T_SC = packed[o:o + self.C * 7].reshape(self.C, 7); o += self.C * 7
+            T_GW = packed[o:o + 7]
             cost = float(packed[-1])
             live = {f.fid for f in self.frames}
             for f, slot in h["fid2slot"].items():
@@ -1196,9 +1227,9 @@ class SlidingWindowEstimator:
                 [hp[:nl].astype(np.float64), self.hp_W[nl:]]
             )
             if self.cfg.do_extrinsics:
-                self.T_SC = np.asarray(h["p_opt"].T_SC, np.float64)
+                self.T_SC = T_SC.astype(np.float64)
             if self.gps_status == "Initialised":
-                self.T_GW = np.asarray(h["p_opt"].T_GW)
+                self.T_GW = T_GW.astype(np.float64)
             out_rows = np.nonzero(out_mask)[0]
         obs_src = h["obs_src"]
         n_out = len(out_rows)
@@ -1214,6 +1245,36 @@ class SlidingWindowEstimator:
             self.obs_depth = self.obs_depth[keep]
             self.obs_depth_sigma = self.obs_depth_sigma[keep]
         return float(cost), n_out
+
+    def adapt_realtime_budget(self, solve_wall_s: float) -> bool:
+        """Feed one measured realtime-solve wall time into the budget
+        controller (≙ CeresIterationCallback's time limit,
+        okvis_ceres/include/okvis/ceres/CeresIterationCallback.hpp:80,
+        okvis2.yaml realtime_time_limit): when the EMA overruns the
+        budget, step the next solves down an iteration bucket
+        (max -> midpoint -> min); step back up on sustained slack.
+        Returns True when this sample overran the budget."""
+        cfg = self.cfg
+        limit = cfg.realtime_time_limit
+        if not limit:
+            return False
+        self._rt_ema = 0.7 * self._rt_ema + 0.3 * solve_wall_s
+        over = solve_wall_s > limit
+        if over:
+            self.n_budget_overruns += 1
+        buckets = sorted({
+            cfg.min_iterations,
+            (cfg.min_iterations + cfg.max_iterations) // 2,
+            cfg.max_iterations,
+        })
+        i = min(
+            range(len(buckets)), key=lambda k: abs(buckets[k] - self._rt_iters)
+        )
+        if self._rt_ema > limit and i > 0:
+            self._rt_iters = buckets[i - 1]
+        elif self._rt_ema < 0.5 * limit and i < len(buckets) - 1:
+            self._rt_iters = buckets[i + 1]
+        return over
 
     def optimise_gated(self, fid: int, gate_px: float,
                        iterations: Optional[int] = None,
@@ -1295,7 +1356,12 @@ class SlidingWindowEstimator:
             self._merge_chain_link(candidates[0].fid)
             self._drop_frame(candidates[0].fid)
 
-        # 2. convert surplus keyframes to pose-graph frames
+        # 2. convert surplus keyframes to pose-graph frames.  Victim =
+        # the keyframe LEAST covisible with the newest keyframe (FIFO
+        # keeps redundant views and evicts still-covisible frames in
+        # slow-motion segments); the newest surplus keyframe itself is
+        # never picked (≙ applyStrategy's minimum-covisibility selection,
+        # ViSlamBackend.cpp:555-809 via computeCovisibilities)
         while True:
             kfs = [
                 f
@@ -1304,7 +1370,14 @@ class SlidingWindowEstimator:
             ]
             if len(kfs) <= cfg.num_keyframes:
                 break
-            self._marginalise_keyframe(kfs[0])
+            ref_fid = kfs[-1].fid
+            fids = [f.fid for f in kfs]
+            cov = self._covis_matrix(fids)
+            ref_i = len(fids) - 1
+            # exclude the reference keyframe itself from victim choice
+            scores = cov[:ref_i, ref_i]
+            victim = kfs[int(np.argmin(scores))] if len(scores) else kfs[0]
+            self._marginalise_keyframe(victim)
 
         # 3. cap total frames: archive oldest pose-graph frames (they stay
         # in the long-term pose graph for loop closure / final BA)
@@ -1389,6 +1462,16 @@ class SlidingWindowEstimator:
         """TwoPoseGraphError-style edges victim->target for up to B
         targets in ONE batched device execution
         (graph/marginalization.py).  Returns a list of edge dicts."""
+        job = self._dispatch_two_pose_edges(victim, targets)
+        if job is None:
+            return []
+        return self._collect_two_pose_edges(job)
+
+    def _dispatch_two_pose_edges(self, victim: FrameState, targets):
+        """Stage + dispatch the batched two-pose-edge program WITHOUT
+        waiting (the deferred pipeline fetches the result with the next
+        frame's prefetch batch instead of paying a ~50 ms synced round
+        trip on the frame path).  Returns a job dict or None."""
         cfg = self.cfg
         dtype = cfg.dtype
         # fixed capacities: one compiled program regardless of window
@@ -1399,7 +1482,7 @@ class SlidingWindowEstimator:
         lcap = 128
         targets = list(targets)[:B]
         if not targets:
-            return []
+            return None
         va = self.obs_fid == victim.fid
         Tb_rows = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (B, 1))
         hp_rows = np.tile(np.array([0, 0, 0, 1.0]), (B, lcap, 1))
@@ -1442,27 +1525,37 @@ class SlidingWindowEstimator:
             om_rows[r, :n] = True
             row_targets.append(target)
         if all(t is None for t in row_targets):
-            return []
+            return None
 
         run = self._two_pose_edge_fn(B, ncap, lcap)
         npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
         cvt = lambda x: np.asarray(x, npdt)
         Ta_rows = np.tile(victim.T_WS, (B, 1))
-        out = np.asarray(run(
+        out_d = run(
             cvt(Ta_rows), cvt(Tb_rows), cvt(self.T_SC),
             cvt(hp_rows), lmm_rows,
             op_rows, oc_rows, ol_rows,
             cvt(uv_rows), cvt(si_rows), om_rows,
-        ))
+        )
+        return dict(
+            victim_fid=victim.fid,
+            target_fids=[t.fid if t is not None else None
+                         for t in row_targets],
+            out=out_d,
+        )
+
+    def _collect_two_pose_edges(self, job: dict, out_np=None):
+        """Parse a dispatched two-pose-edge job into edge dicts."""
+        out = np.asarray(job["out"]) if out_np is None else out_np
         edges = []
-        for r, target in enumerate(row_targets):
-            if target is None:
+        for r, target_fid in enumerate(job["target_fids"]):
+            if target_fid is None:
                 continue
             strength = float(out[r, 43])
             if not np.isfinite(strength) or strength < 1e-3:
                 continue
             edges.append(dict(
-                i=victim.fid, j=target.fid,
+                i=job["victim_fid"], j=target_fid,
                 T_ij=out[r, :7].astype(np.float64),
                 sqrt_info=out[r, 7:43].reshape(6, 6).astype(np.float64),
                 # marginalisation summary: dropped when its observations
@@ -1471,6 +1564,22 @@ class SlidingWindowEstimator:
                 marg=True,
             ))
         return edges
+
+    def apply_pending_edges(self, job: dict, out_np: np.ndarray) -> int:
+        """Fold a deferred two-pose-edge result into the graph (deferred
+        pipeline: fetched with the NEXT frame's prefetch batch).  Edges
+        whose endpoints were archived in the meantime go straight to the
+        archive edge store."""
+        edges = self._collect_two_pose_edges(job, out_np)
+        live = {f.fid for f in self.frames}
+        n = 0
+        for e in edges:
+            if e["i"] in live and e["j"] in live:
+                self.rel_edges.append(e)
+            else:
+                self.archive_edges.append(e)
+            n += 1
+        return n
 
     def _marginalise_keyframe(self, victim: FrameState):
         """Summarise the keyframe into relative-pose edges selected by a
@@ -1506,16 +1615,31 @@ class SlidingWindowEstimator:
             if victim.fid in (i, j)
         ]
         by_fid = {f.fid: f for f in kfs}
-        # bounded fan-out per marginalised frame, ONE batched device call
-        edges = self._compute_two_pose_edges(
-            victim, [by_fid[t] for t in targets[:3]]
-        )
-        if not edges and len(nodes) > 1:
-            # fall back to the single most covisible keyframe
+        edge_targets = [by_fid[t] for t in targets[:3]]
+        if not edge_targets and len(nodes) > 1:
+            # no MST edge touches the victim: fall back to the single
+            # most covisible keyframe
             bi = int(np.argmax(C[0, 1:])) + 1
             if C[0, bi] >= 3:
-                edges = self._compute_two_pose_edges(victim, [nodes[bi]])
-        self.rel_edges.extend(edges)
+                edge_targets = [nodes[bi]]
+        if self.defer_edge_jobs:
+            # deferred pipeline: dispatch only — the result rides the next
+            # frame's prefetch batch (apply_pending_edges); the in-between
+            # solve runs without this one edge for a single iteration
+            job = self._dispatch_two_pose_edges(victim, edge_targets)
+            if job is not None:
+                self.pending_edge_jobs.append(job)
+        else:
+            # bounded fan-out per marginalised frame, ONE batched call
+            edges = self._compute_two_pose_edges(victim, edge_targets)
+            if not edges and len(nodes) > 1:
+                # MST edges all too weak: retry vs the most covisible
+                bi = int(np.argmax(C[0, 1:])) + 1
+                if C[0, bi] >= 3:
+                    edges = self._compute_two_pose_edges(
+                        victim, [nodes[bi]]
+                    )
+            self.rel_edges.extend(edges)
         # keep the frame as a frozen pose-graph anchor; its observations
         # are summarised in the edge, so they leave the active problem —
         # but are archived for the final BA re-expansion.  The IMU chain
@@ -2138,7 +2262,7 @@ class SlidingWindowEstimator:
         N = bucket(n_obs, 256)
         R = bucket(len(all_edges), 16)
         M = bucket(len(imu_links), 8) if imu_links else 1
-        dtype = self.cfg.dtype
+        dtype = jax.dtypes.canonicalize_dtype(self.cfg.dtype)
 
         p = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=M, R=R, dtype=dtype)
         T_WS = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))

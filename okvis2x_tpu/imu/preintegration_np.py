@@ -80,6 +80,84 @@ def predict_state(
     return np.concatenate([t1_W, q1]), v1_W
 
 
+def predict_states_batch(
+    params,
+    t: np.ndarray,  # (n,) sample times covering [t0, max(tq)]
+    gyr: np.ndarray,  # (n, 3)
+    acc: np.ndarray,  # (n, 3)
+    t0: float,
+    tq: np.ndarray,  # (m,) SORTED query times >= t0
+    T_WS0: np.ndarray,  # (7,)
+    v_W0: np.ndarray,  # (3,)
+    bg: np.ndarray,
+    ba: np.ndarray,
+) -> np.ndarray:
+    """Poses T_WS (m, 7) at a sorted batch of query times by ONE
+    incremental midpoint integration pass over the raw samples — the
+    host-side engine behind per-ray LiDAR deskew (≙ the reference
+    propagating IMU per ray, okvis_mapping/include/okvis/
+    LidarMotionUndistortion.hpp:22-59, via Propagator/
+    BatchedLidarPropagator).  O(n + m), not m restarts."""
+    tq = np.asarray(tq, np.float64)
+    out = np.zeros((len(tq), 7))
+    g_W = np.array([0.0, 0.0, -params.g])
+    C_WS0 = se3np.quat_to_matrix(T_WS0[3:7])
+
+    dq = np.array([0.0, 0.0, 0.0, 1.0])
+    dp = np.zeros(3)
+    dv = np.zeros(3)
+    t_cur = t0
+    qi = 0
+    m = len(tq)
+
+    def emit(up_to, dq, dp, dv, t_cur, omega):
+        """Emit all queries <= up_to from the current integrated state:
+        first-order hold over the sub-sample gap (rotation advanced with
+        the current rate — at rad/s rates a zero-order hold leaves
+        centimetres at LiDAR range)."""
+        nonlocal qi
+        dt_tot = t_cur - t0
+        while qi < m and tq[qi] <= up_to + 1e-12:
+            dte = max(float(tq[qi]) - t_cur, 0.0)
+            dt_q = dt_tot + dte
+            p = (T_WS0[:3] + v_W0 * dt_q + 0.5 * g_W * dt_q**2
+                 + C_WS0 @ (dp + dv * dte))
+            dq_e = se3np.quat_normalize(
+                se3np.quat_multiply(dq, se3np.delta_q(omega * dte))
+            ) if dte > 0 else dq
+            q = se3np.quat_normalize(se3np.quat_multiply(T_WS0[3:7], dq_e))
+            out[qi] = np.concatenate([p, q])
+            qi += 1
+
+    n = len(t)
+    omega = gyr[0] - bg if n else np.zeros(3)
+    for k in range(n - 1):
+        tb = float(t[k + 1])
+        if tb <= t_cur:
+            continue
+        omega = 0.5 * (gyr[k] + gyr[k + 1]) - bg
+        # queries inside this segment: first-order hold forward from the
+        # last integrated state at the segment's rate
+        emit(tb - 1e-9, dq, dp, dv, t_cur, omega)
+        dt = tb - max(float(t[k]), t_cur)
+        if dt <= 0:
+            continue
+        dq_step = se3np.delta_q(omega * dt)
+        dq_new = se3np.quat_normalize(se3np.quat_multiply(dq, dq_step))
+        C0 = se3np.quat_to_matrix(dq)
+        C1 = se3np.quat_to_matrix(dq_new)
+        acc_S = 0.5 * (C0 @ (acc[k] - ba) + C1 @ (acc[k + 1] - ba))
+        dp = dp + dv * dt + 0.5 * acc_S * dt * dt
+        dv = dv + acc_S * dt
+        dq = dq_new
+        t_cur = tb
+        if qi >= m:
+            break
+    # queries beyond the last sample: first-order extrapolation
+    emit(np.inf, dq, dp, dv, t_cur, omega)
+    return out
+
+
 def preintegrate_full(
     params,
     t: np.ndarray,  # (n,) sample times covering [t0, t1]

@@ -32,6 +32,49 @@ def deskew(
     return jax.vmap(lambda p: se3.se3_apply(T_SW_1, p))(p_W)
 
 
+def deskew_imu(
+    imu_params,
+    imu_t: np.ndarray,
+    imu_gyr: np.ndarray,
+    imu_acc: np.ndarray,
+    f_a,  # bracketing FrameState at/before sweep start (T_WS, sb)
+    t_point: np.ndarray,  # (N,) absolute per-ray times
+    pts_S: np.ndarray,  # (N, 3) raw points in the (moving) sensor frame
+    t_end: float | None = None,  # target frame time (default: last ray)
+) -> np.ndarray:
+    """Per-ray IMU-propagated motion compensation into the frame at sweep
+    end (≙ LidarMotionUndistortion's deskew-through-Propagator,
+    okvis_mapping/include/okvis/LidarMotionUndistortion.hpp:22-59): the
+    state at/before the sweep start is propagated through the raw IMU
+    samples, giving each ray its own pose — capturing intra-sweep
+    dynamics that two-state interpolation loses under aggressive motion
+    (the Hilti'22 operating regime).  Host numpy: one O(n + m) pass."""
+    from okvis2x_tpu.core import se3np
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+
+    t_point = np.asarray(t_point, np.float64)
+    if t_end is None:
+        t_end = float(t_point.max())
+    tq = np.concatenate([t_point, [t_end]])
+    order = np.argsort(tq)
+    T_sorted = pre_np.predict_states_batch(
+        imu_params, imu_t, imu_gyr, imu_acc, float(f_a.timestamp),
+        tq[order], np.asarray(f_a.T_WS), np.asarray(f_a.sb[0:3]),
+        np.asarray(f_a.sb[3:6]), np.asarray(f_a.sb[6:9]),
+    )
+    T_all = np.empty_like(T_sorted)
+    T_all[order] = T_sorted
+    T_rays = T_all[:-1]
+    T_end = T_all[-1]
+    # p_end = T_end^-1 * T_ray * p
+    R_end_T = se3np.quat_to_matrix(T_end[3:7]).T
+    Rs = se3np.quat_to_matrix(T_rays[:, 3:7])  # (N, 3, 3)
+    p_W = np.einsum("nij,nj->ni", Rs, pts_S) + T_rays[:, :3]
+    out = (p_W - T_end[:3]) @ R_end_T.T
+    # (deskewed points in the sweep-end frame, propagated sweep-end pose)
+    return out, T_end
+
+
 def voxel_downsample(
     pts: np.ndarray, voxel: float, max_per_voxel: int = 1
 ) -> np.ndarray:

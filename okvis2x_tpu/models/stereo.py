@@ -157,22 +157,25 @@ def disparity_to_depth(
     )
 
 
-_NET = None  # (net, params) once loaded; False when no artifact exists
+_NET = {}  # max_disp -> (net, params, meta); False when no artifact exists
 
 
-def _trained_net():
+def _trained_net(max_disp: int = 64):
     """Lazy-load the trained StereoNet artifact shipped under resources/
-    (tools/train_stereo.py); caches the miss so the check is one stat."""
+    (tools/train_stereo.py), built at the CALLER's disparity range;
+    caches the miss so the check is one stat."""
     global _NET
-    if _NET is None:
+    if max_disp not in _NET:
         from okvis2x_tpu.models import stereo_net
 
-        params, _ = stereo_net.load_params()
+        params, meta = stereo_net.load_params()
         if params is None:
-            _NET = False
+            _NET[max_disp] = False
         else:
-            _NET = (stereo_net.StereoNet(max_disp=64), params)
-    return _NET or None
+            _NET[max_disp] = (
+                stereo_net.StereoNet(max_disp=max_disp), params, meta
+            )
+    return _NET[max_disp] or None
 
 
 def stereo_depth(
@@ -180,11 +183,22 @@ def stereo_depth(
     max_disp: int = 64, engine: str = "auto",
 ) -> StereoDepth:
     """Engine 'auto' uses the trained StereoNet when its weight artifact is
-    shipped (≙ the reference defaulting to its TorchScript model and
-    falling back when absent), else the training-free census path."""
-    net = _trained_net() if engine in ("auto", "net") else None
+    shipped AND its recorded held-out RMSE beats the census engine's
+    (≙ the reference defaulting to its TorchScript model); 'net' demands
+    the artifact (raises when missing); 'census' never loads it."""
+    net = _trained_net(max_disp) if engine in ("auto", "net") else None
+    if engine == "net" and net is None:
+        raise FileNotFoundError(
+            "engine='net' requested but no trained stereo artifact exists "
+            "(run tools/train_stereo.py to produce resources/stereo_net.npz)"
+        )
+    if net is not None and engine == "auto":
+        # only auto-switch when the artifact's recorded eval says it wins
+        _, _, meta = net
+        if meta.get("rmse_net", jnp.inf) > meta.get("rmse_census", 0.0):
+            net = None
     if net is not None:
-        mod, params = net
+        mod, params, _ = net
         disp, sigma_d = mod.apply(params, left, right)
         # net output is dense: gate by the disparity search range only
         valid = (disp > 0.5) & (disp < max_disp - 1)

@@ -93,25 +93,41 @@ class LidarVioPipeline:
         t1 = float(sweep.t_point[-1])
         fa, fb = self._bracketing_states(t0, t1)
 
-        # points into the sensor frame S
-        pts_L = jnp.asarray(sweep.pts, jnp.float32)
-        pts_S = np.asarray(
-            se3.se3_apply(jnp.asarray(self.T_SL, jnp.float32), pts_L)
-        )
+        # points into the sensor frame S (host math — a device program
+        # execution costs ~30 ms fixed on the remote runtime)
+        from okvis2x_tpu.core import se3np
 
-        # deskew between the bracketing states (identity when static)
-        dt = max(t1 - t0, 1e-6)
-        frac = jnp.asarray(
-            np.clip((sweep.t_point - t0) / dt, 0, 1), jnp.float32
-        )
-        pts_S = np.asarray(
-            lidar.deskew(
-                jnp.asarray(fa.T_WS, jnp.float32),
-                jnp.asarray(fb.T_WS, jnp.float32),
-                frac,
-                jnp.asarray(pts_S),
+        R_SL = se3np.quat_to_matrix(self.T_SL[3:7])
+        pts_S = np.asarray(sweep.pts) @ R_SL.T + self.T_SL[:3]
+
+        # deskew: per-ray IMU propagation from the bracketing state when
+        # the raw buffer covers the sweep (≙ LidarMotionUndistortion's
+        # Propagator path — intra-sweep dynamics matter under aggressive
+        # motion); two-state geodesic interpolation as the fallback
+        t_tgt = float(fb.timestamp)
+        i0, i1 = est._imu_span(fa.timestamp, max(t1, t_tgt))
+        if i1 - i0 >= 2 and est.imu_t[i0] <= fa.timestamp + 1e-6 \
+                and est.imu_t[i1 - 1] >= t1 - 1e-3:
+            # deskew into the (IMU-consistent) frame at fb's time so the
+            # live factor attaches to fb's pose variable without offset
+            pts_S, _ = lidar.deskew_imu(
+                est.cfg.imu, est.imu_t[i0:i1], est.imu_gyr[i0:i1],
+                est.imu_acc[i0:i1], fa, sweep.t_point, pts_S,
+                t_end=t_tgt,
             )
-        )
+        else:
+            dt = max(t1 - t0, 1e-6)
+            frac = jnp.asarray(
+                np.clip((sweep.t_point - t0) / dt, 0, 1), jnp.float32
+            )
+            pts_S = np.asarray(
+                lidar.deskew(
+                    jnp.asarray(fa.T_WS, jnp.float32),
+                    jnp.asarray(fb.T_WS, jnp.float32),
+                    frac,
+                    jnp.asarray(pts_S, jnp.float32),
+                )
+            )
 
         # range gate + voxel downsample
         rng = np.linalg.norm(pts_S, axis=-1)

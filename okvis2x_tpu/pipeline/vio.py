@@ -113,6 +113,18 @@ class PipelineConfig:
     # one-frame-stale map; the realtime state output is the IMU
     # prediction, retro-corrected in the state log when the solve lands.
     pipelined_solve: bool = True
+    # deferred-frontend pipeline: ONE fused device program per frame
+    # (detect+describe+associate) dispatched asynchronously and consumed
+    # one frame later, with the window solve's results riding the same
+    # batched fetch on a background prefetch thread — the main thread
+    # never blocks on the device in steady state.  The remote TPU runtime
+    # charges ~30 ms per synchronous round trip, so the synchronous path's
+    # 3 syncs/frame cap it at ~5 fps regardless of device speed.  Costs:
+    # association matches against a one-frame-stale map (absorbed by
+    # match_radius_px) and per-frame info reports the PREVIOUS frame's
+    # association counts.  ≙ running the reference's frontend + backend
+    # threads fully decoupled (ThreadedSlam.cpp:945-960).
+    deferred_frontend: bool = False
 
 
 class FrameData:
@@ -159,6 +171,61 @@ class VioPipeline:
         # solve of the previous frame + last solved pose for path length
         self._pending = None
         self._last_solved_T = None
+        # deferred-frontend pipeline: in-flight cycle + prefetch thread
+        self._cycle = None  # dict(front=..., solve=..., solve_meta=...)
+        self._pf_thread = None
+        self._pf_in = None
+        self._pf_out = None
+        self._last_counts = (0, 0, 0)
+        self._last_quality = None
+        if cfg.deferred_frontend:
+            import queue as queue_mod
+            import threading
+
+            self.est.defer_edge_jobs = True
+            self._pf_in = queue_mod.Queue()
+            self._pf_out = queue_mod.Queue()
+
+            def _pf_loop():
+                # per-array fetch threads: the tunnel runtime executes
+                # concurrent D2H RPCs in parallel (measured: 2 parallel
+                # fetches ≈ 38 ms wall vs 73 ms sequential;
+                # jax.device_get on a tuple serialises them)
+                while True:
+                    item = self._pf_in.get()
+                    if item is None:
+                        return
+                    arrs = [item["front"]["det"], item["front"]["assoc"]]
+                    if item["solve"] is not None:
+                        arrs.append(item["solve"]["packed"])
+                    for job in item.get("edge_jobs", ()):
+                        arrs.append(job["out"])
+                    fetched = [None] * len(arrs)
+
+                    def _get(k, a):
+                        try:
+                            fetched[k] = np.asarray(a)
+                        except Exception as e:  # noqa: BLE001
+                            fetched[k] = e
+
+                    ths = [
+                        threading.Thread(target=_get, args=(k, a))
+                        for k, a in enumerate(arrs)
+                    ]
+                    for th in ths:
+                        th.start()
+                    for th in ths:
+                        th.join()
+                    err = next(
+                        (x for x in fetched if isinstance(x, Exception)),
+                        None,
+                    )
+                    self._pf_out.put((item, err or fetched))
+
+            self._pf_thread = threading.Thread(
+                target=_pf_loop, name="device-prefetch", daemon=True
+            )
+            self._pf_thread.start()
         # loop-closure frames currently held in the window + merge counter
         self.lc_frames: List[int] = []
         self.n_landmarks_merged = 0
@@ -178,6 +245,7 @@ class VioPipeline:
             if os.path.exists(path):
                 self.vocab = bow.HierVocabulary.load(path)
                 self.bow_db = bow.BowDatabase(k=self.vocab.n_words)
+                self._vocab_pretrained = True
             else:
                 import logging
 
@@ -189,6 +257,8 @@ class VioPipeline:
                 )
         self.kf_records: Dict[int, dict] = {}  # fid -> descriptors + lm snap
         self.n_loop_closures = 0
+        if not hasattr(self, "_vocab_pretrained"):
+            self._vocab_pretrained = False
         # async place recognition: BoW query + RANSAC verification on a
         # worker thread, graph surgery applied at the next poll (≙ the
         # reference's posegraph/loop-closure thread, ThreadedSlam.cpp:878)
@@ -201,6 +271,7 @@ class VioPipeline:
 
             self._lc_queue = queue_mod.Queue()
             self._lc_results = queue_mod.Queue()
+            self._lc_active = threading.Lock()  # held while an item runs
             self._lc_thread = threading.Thread(
                 target=self._lc_worker_loop, name="place-recognition",
                 daemon=True,
@@ -294,26 +365,7 @@ class VioPipeline:
         imgs = np.stack([self._pad_width(im) for im in images])
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
-        angles = []
-        for c in range(len(images)):
-            # gravity direction in camera frame (host math: se3np)
-            T_WC = se3np.se3_multiply(np.asarray(T_WS_pred), self.T_SC[c])
-            C_CW = se3np.quat_to_matrix(T_WC[3:7]).T
-            g_C = C_CW @ np.array([0.0, 0.0, -1.0])
-            if np.hypot(g_C[0], g_C[1]) > 0.2:
-                # gravity projects strongly into the image: align with it
-                # (≙ Frontend::detectAndDescribe gravity alignment)
-                angles.append(float(np.arctan2(g_C[1], g_C[0])))
-            else:
-                # optical axis near-vertical (ceiling/floor-looking rig):
-                # the gravity projection is numerically meaningless and
-                # swings with millidegree tilt noise, so descriptors of
-                # the SAME view would extract at arbitrary rotations and
-                # never match on revisit.  Align with the world heading
-                # instead — repeatable within the yaw-drift tolerance of
-                # the binary descriptor pattern.
-                e_C = C_CW @ np.array([1.0, 0.0, 0.0])
-                angles.append(float(np.arctan2(e_C[1], e_C[0])))
+        angles = self._gravity_angles(len(images), T_WS_pred)
         run = self._detect_fn(imgs.shape)
         out = np.asarray(run(
             jnp.asarray(imgs), jnp.asarray(angles, jnp.float32)
@@ -385,53 +437,45 @@ class VioPipeline:
             self._jit[key] = run
         return self._jit[key]
 
-    def _associate_fn(self):
-        """THE per-frame data-association program: map matching for every
-        camera (with in-program per-landmark dedup), rig-stereo
-        initialisation and motion stereo vs the last keyframe — fused into
-        ONE device execution (the remote TPU runtime charges ~20 ms per
-        execution; the previous 4-program split paid that 4x).
+    def _make_assoc_core(self):
+        """Build the association body shared by the standalone associate
+        program and the fused detect+describe+associate program: map
+        matching for every camera (with in-program per-landmark dedup),
+        rig-stereo initialisation and motion stereo vs the last keyframe.
 
         ≙ Frontend::matchToMap + matchStereo + matchMotionStereo
         (okvis_frontend/src/Frontend.cpp:674-1145) re-architected as a
-        single fixed-shape fused program."""
-        key = ("associate", self.num_cams)
-        if key not in self._jit:
-            cfg = self.cfg
-            C = self.num_cams
-            cams = self.cameras
-            Lcap = self.est.cfg.cap_landmarks
-            T_SC_all = jnp.asarray(self.T_SC)
-            if C >= 2:
-                cam0, cam1 = self.cameras[0], self.cameras[1]
-                T_C1C0 = se3np.se3_multiply(
-                    se3np.se3_inverse(self.T_SC[1]), self.T_SC[0]
-                )
-                T_C0C1 = se3np.se3_inverse(T_C1C0)
-                E = jnp.asarray(
-                    se3np.cross_matrix(T_C1C0[:3])
-                    @ se3np.quat_to_matrix(T_C1C0[3:7]), jnp.float32,
-                )
-                fpx = float(self.np_cameras[1].fxfycxcy[1])
-                p_B = jnp.asarray(T_C0C1[:3], jnp.float32)
-                R_C0C1 = jnp.asarray(
-                    se3np.quat_to_matrix(T_C0C1[3:7]), jnp.float32
-                )
-            T_SC0 = jnp.asarray(self.T_SC[0])
+        single fixed-shape fused body.  Returns a traceable function
+        (T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid, pm1, T_CkC,
+        T_WCk, kf_uv, kf_un, kf_packs, kf_valid, motion_on) -> f32 vec."""
+        cfg = self.cfg
+        C = self.num_cams
+        cams = self.cameras
+        Lcap = self.est.cfg.cap_landmarks
+        T_SC_all = jnp.asarray(self.T_SC)
+        if C >= 2:
+            cam0, cam1 = self.cameras[0], self.cameras[1]
+            T_C1C0 = se3np.se3_multiply(
+                se3np.se3_inverse(self.T_SC[1]), self.T_SC[0]
+            )
+            T_C0C1 = se3np.se3_inverse(T_C1C0)
+            E = jnp.asarray(
+                se3np.cross_matrix(T_C1C0[:3])
+                @ se3np.quat_to_matrix(T_C1C0[3:7]), jnp.float32,
+            )
+            fpx = float(self.np_cameras[1].fxfycxcy[1])
+            p_B = jnp.asarray(T_C0C1[:3], jnp.float32)
+            R_C0C1 = jnp.asarray(
+                se3np.quat_to_matrix(T_C0C1[3:7]), jnp.float32
+            )
+        T_SC0 = jnp.asarray(self.T_SC[0])
 
-            @jax.jit
-            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid,
-                    kp_packs, T_CkC, T_WCk, kf_uv, kf_un, kf_packs,
-                    kf_valid, motion_on):
+        def core(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid,
+                 pm1, T_CkC, T_WCk, kf_uv, kf_un, kf_packs,
+                 kf_valid, motion_on):
                 f32 = jnp.float32
                 N = kp_uv.shape[1]
                 lm_pm1 = descriptor.unpack_pm1(lm_packs, lm_valid)
-                # keypoint descriptors arrive PACKED from the host (48 B/kp
-                # upload) and unpack here: feeding the detect program's
-                # device-resident pm1 array in directly made this program
-                # part of a device-to-device dependency chain, which the
-                # remote runtime serialises at ~178 ms/exec
-                pm1 = jax.vmap(descriptor.unpack_pm1)(kp_packs, kp_valid)
                 kf_pm1 = descriptor.unpack_pm1(kf_packs, kf_valid)
 
                 # ---- map matching per camera, in-program landmark dedup
@@ -584,12 +628,98 @@ class VioPipeline:
                      f32c(mo_ok), f32c(mo_hp)]
                 )
 
+        return core
+
+    def _associate_fn(self):
+        """Standalone per-frame data-association program (synchronous
+        pipeline path): keypoints arrive PACKED from the host (48 B/kp
+        upload) and unpack in-program — feeding the detect program's
+        device-resident pm1 array in directly made this program part of a
+        device-to-device dependency chain, which the remote runtime
+        serialises at ~178 ms/exec."""
+        key = ("associate", self.num_cams)
+        if key not in self._jit:
+            core = self._make_assoc_core()
+
+            @jax.jit
+            def run(T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid,
+                    kp_packs, T_CkC, T_WCk, kf_uv, kf_un, kf_packs,
+                    kf_valid, motion_on):
+                pm1 = jax.vmap(descriptor.unpack_pm1)(kp_packs, kp_valid)
+                return core(
+                    T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid, pm1,
+                    T_CkC, T_WCk, kf_uv, kf_un, kf_packs, kf_valid,
+                    motion_on,
+                )
+
             self._jit[key] = run
         return self._jit[key]
 
-    def associate(self, fid: int, frame_data: List[FrameData]):
-        """Stages 3+6 in one device round trip; returns
-        (n_map, n_stereo, n_motion) and updates the estimator tables."""
+    def _frontend_fused_fn(self, shape):
+        """ONE jitted program for the ENTIRE per-frame frontend: detection
+        + description for all cameras AND the full data association (map
+        matching, rig stereo, motion stereo) — the deferred pipeline's
+        single device program per frame.  Returns (det_u32 (C, N, 15),
+        assoc_f32 vector); both ride one batched fetch.
+
+        ≙ Frontend::detectAndDescribe + dataAssociationAndInitialization
+        (okvis_frontend/src/Frontend.cpp:204-256, 674-1145) as one
+        fixed-shape program — the remote TPU runtime charges ~30 ms per
+        synced execution, so program count is the frame-rate budget."""
+        key = ("frontfused", shape)
+        if key not in self._jit:
+            cfg = self.cfg
+            core = self._make_assoc_core()
+
+            @jax.jit
+            def run(imgs, angles, T_WS, hp, lm_valid, lm_packs,
+                    T_CkC, T_WCk, kf_uv, kf_un, kf_packs, kf_valid,
+                    motion_on):
+                imgs_f = imgs.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+                def det_one(img, angle):
+                    kp = detector.detect(
+                        img,
+                        max_keypoints=cfg.max_keypoints,
+                        octaves=cfg.octaves,
+                        cell=cfg.detection_cell,
+                        per_cell=cfg.detection_per_cell,
+                        threshold=cfg.harris_threshold,
+                    )
+                    ang = jnp.full((cfg.max_keypoints,), angle)
+                    packed, pm1 = descriptor.extract(
+                        img, kp.uv, ang, kp.level, kp.valid
+                    )
+                    return kp.uv, kp.valid, packed, pm1
+
+                kp_uv, kp_valid, kp_packed, pm1 = jax.vmap(det_one)(
+                    imgs_f, angles
+                )
+                det_u32 = jnp.concatenate(
+                    [
+                        jax.lax.bitcast_convert_type(
+                            kp_uv.astype(jnp.float32), jnp.uint32
+                        ),
+                        kp_valid[:, :, None].astype(jnp.uint32),
+                        kp_packed,
+                    ],
+                    axis=2,
+                )
+                assoc = core(
+                    T_WS, hp, lm_valid, lm_packs, kp_uv, kp_valid, pm1,
+                    T_CkC, T_WCk, kf_uv, kf_un, kf_packs, kf_valid,
+                    motion_on,
+                )
+                return det_u32, assoc
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def _assoc_stage(self, fid: int, T_WS: np.ndarray) -> dict:
+        """Host staging of the association inputs (landmark tables +
+        motion-stereo keyframe inputs) around the pose estimate `T_WS`.
+        Shared by the synchronous associate() and the deferred
+        frontend_dispatch()."""
         est = self.est
         cfg = self.cfg
         nl = len(est.lm_ids)
@@ -606,20 +736,21 @@ class VioPipeline:
             packs[:nl] = np.stack(
                 [self.lm_desc.get(l, zero_d) for l in lids])
             lm_valid[:nl] = True
-        f = est.get_state(fid)
         N = cfg.max_keypoints
 
         # motion-stereo inputs vs the last keyframe (zeros when absent)
+        kf_fid = None
         kfd = None
         if self.last_kf_fid is not None and self.last_kf_fid in self.frames:
             try:
                 fk = est.get_state(self.last_kf_fid)
                 kfd = self.frames[self.last_kf_fid][0]
+                kf_fid = self.last_kf_fid
             except KeyError:
                 kfd = None
         if kfd is not None:
             T_WCk = se3np.se3_multiply(fk.T_WS, self.T_SC[0])
-            T_WC = se3np.se3_multiply(f.T_WS, self.T_SC[0])
+            T_WC = se3np.se3_multiply(T_WS, self.T_SC[0])
             T_CkC = se3np.se3_multiply(se3np.se3_inverse(T_WCk), T_WC)
             motion_on = bool(np.linalg.norm(T_CkC[:3]) >= 0.02)
             kf_uv = kfd.uv
@@ -634,18 +765,22 @@ class VioPipeline:
             kf_un = np.zeros(N, bool)
             kf_packs = np.zeros((N, 12), np.uint32)
             kf_valid = np.zeros(N, bool)
-        run = self._associate_fn()
-        packed_out = run(
-            f.T_WS, hp, lm_valid, packs,
-            jnp.asarray(np.stack([fd.uv for fd in frame_data])),
-            jnp.asarray(np.stack([fd.valid for fd in frame_data])),
-            jnp.asarray(np.stack([fd.packed for fd in frame_data])),
-            jnp.asarray(T_CkC), jnp.asarray(T_WCk),
-            jnp.asarray(kf_uv), jnp.asarray(kf_un),
-            jnp.asarray(kf_packs), jnp.asarray(kf_valid),
-            jnp.asarray(motion_on),
+        return dict(
+            fid=fid, nl=nl, lids=lids, hp=hp, packs=packs,
+            lm_valid=lm_valid, kf_fid=kf_fid, T_WCk=T_WCk, T_CkC=T_CkC,
+            motion_on=motion_on, kf_uv=kf_uv, kf_un=kf_un,
+            kf_packs=kf_packs, kf_valid=kf_valid,
         )
-        flts = np.asarray(packed_out)
+
+    def _assoc_consume(self, fid: int, frame_data: List[FrameData],
+                       st: dict, flts: np.ndarray):
+        """Consume the association program's packed f32 output: assign
+        landmark ids, add observations, create stereo/motion landmarks.
+        Robust to landmarks/keyframes dropped between dispatch and
+        consumption (deferred pipeline)."""
+        est = self.est
+        nl, lids, kf_fid = st["nl"], st["lids"], st["kf_fid"]
+        N = self.cfg.max_keypoints
         C = self.num_cams
         o = 0
         map_rows = flts[o:o + C * N].reshape(C, N).astype(np.int64); o += C * N
@@ -664,7 +799,14 @@ class VioPipeline:
             ks = ks[(map_rows[c][ks] < nl) & (fd.lid[ks] < 0)]
             if len(ks) == 0:
                 continue
-            fd.lid[ks] = lids[map_rows[c][ks]]
+            cand = lids[map_rows[c][ks]]
+            # deferred guard: a matched landmark may have been pruned
+            # between dispatch and consumption
+            alive = np.array([l in est.lm_index for l in cand], bool)
+            ks, cand = ks[alive], cand[alive]
+            if len(ks) == 0:
+                continue
+            fd.lid[ks] = cand
             est.add_observations_batch(fid, c, fd.lid[ks], fd.uv[ks])
             n_map += len(ks)
 
@@ -699,7 +841,11 @@ class VioPipeline:
 
         # ---- consume motion-stereo initialisations (cam0)
         n_motion = 0
-        if kfd is not None and motion_on:
+        kfd = self.frames[kf_fid][0] if kf_fid in self.frames else None
+        kf_live = kfd is not None and any(
+            f.fid == kf_fid for f in est.frames
+        )
+        if kf_live and st["motion_on"]:
             fd = frame_data[0]
             used_k = set()
             new_lid, new_ic, new_ik = [], [], []
@@ -720,12 +866,240 @@ class VioPipeline:
                 n_motion += 1
             if new_lid:
                 est.add_observations_batch(
-                    self.last_kf_fid, 0, new_lid, kfd.uv[np.asarray(new_ik)]
+                    kf_fid, 0, new_lid, kfd.uv[np.asarray(new_ik)]
                 )
                 est.add_observations_batch(
                     fid, 0, new_lid, fd.uv[np.asarray(new_ic)]
                 )
         return n_map, n_stereo, n_motion
+
+    def associate(self, fid: int, frame_data: List[FrameData]):
+        """Stages 3+6 in one device round trip; returns
+        (n_map, n_stereo, n_motion) and updates the estimator tables."""
+        f = self.est.get_state(fid)
+        st = self._assoc_stage(fid, f.T_WS)
+        run = self._associate_fn()
+        packed_out = run(
+            f.T_WS, st["hp"], st["lm_valid"], st["packs"],
+            jnp.asarray(np.stack([fd.uv for fd in frame_data])),
+            jnp.asarray(np.stack([fd.valid for fd in frame_data])),
+            jnp.asarray(np.stack([fd.packed for fd in frame_data])),
+            jnp.asarray(st["T_CkC"]), jnp.asarray(st["T_WCk"]),
+            jnp.asarray(st["kf_uv"]), jnp.asarray(st["kf_un"]),
+            jnp.asarray(st["kf_packs"]), jnp.asarray(st["kf_valid"]),
+            jnp.asarray(st["motion_on"]),
+        )
+        flts = np.asarray(packed_out)
+        return self._assoc_consume(fid, frame_data, st, flts)
+
+    # ---------------------------------------------- deferred frontend cycle
+    def _stage_images(self, images: List[np.ndarray]):
+        """Pad + uint8-pack the camera images and START their device
+        upload (async): called before the prefetch wait so the ~25 ms
+        image H2D streams while the previous cycle's fetch is in flight,
+        instead of serialising ahead of the frontend execution."""
+        imgs = np.stack([self._pad_width(im) for im in images])
+        if imgs.dtype != np.uint8:
+            imgs = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
+        return imgs.shape, jnp.asarray(imgs)
+
+    def frontend_dispatch(self, fid: int, t: float,
+                          staged, T_WS_pred: np.ndarray,
+                          depth_images=None) -> dict:
+        """Dispatch the fused detect+describe+associate program for this
+        frame (asynchronously) and return a handle consumed one frame
+        later by `frontend_consume`.  `staged` = _stage_images output."""
+        shape, imgs_d = staged
+        n_cams = shape[0]
+        angles = self._gravity_angles(n_cams, T_WS_pred)
+        st = self._assoc_stage(fid, T_WS_pred)
+        run = self._frontend_fused_fn(shape)
+        det_d, assoc_d = run(
+            imgs_d, jnp.asarray(angles, jnp.float32),
+            T_WS_pred, st["hp"], st["lm_valid"], st["packs"],
+            jnp.asarray(st["T_CkC"]), jnp.asarray(st["T_WCk"]),
+            jnp.asarray(st["kf_uv"]), jnp.asarray(st["kf_un"]),
+            jnp.asarray(st["kf_packs"]), jnp.asarray(st["kf_valid"]),
+            jnp.asarray(st["motion_on"]),
+        )
+        return dict(
+            fid=fid, t=t, det=det_d, assoc=assoc_d, stage=st,
+            depth_images=depth_images, log_idx=len(self.states_log),
+        )
+
+    def frontend_consume(self, h: dict, det_np: np.ndarray,
+                         assoc_np: np.ndarray):
+        """Consume a fetched fused-frontend result: build FrameData from
+        the detection block, then run the shared association consumption.
+        Returns (frame_data, (n_map, n_stereo, n_motion))."""
+        fid = h["fid"]
+        uv = det_np[:, :, :2].view(np.float32).astype(np.float64)
+        valid = det_np[:, :, 2] > 0
+        packed_np = det_np[:, :, 3:15]
+        frame_data = [
+            FrameData(uv=uv[c], score=None, level=None,
+                      valid=valid[c], packed=packed_np[c])
+            for c in range(self.num_cams)
+        ]
+        self.frames[fid] = frame_data
+        counts = self._assoc_consume(fid, frame_data, h["stage"], assoc_np)
+        return frame_data, counts
+
+    def _gravity_angles(self, n_cams: int, T_WS_pred: np.ndarray):
+        """Per-camera descriptor extraction directions from projected
+        gravity (≙ Frontend::detectAndDescribe gravity alignment)."""
+        angles = []
+        for c in range(n_cams):
+            T_WC = se3np.se3_multiply(np.asarray(T_WS_pred), self.T_SC[c])
+            C_CW = se3np.quat_to_matrix(T_WC[3:7]).T
+            g_C = C_CW @ np.array([0.0, 0.0, -1.0])
+            if np.hypot(g_C[0], g_C[1]) > 0.2:
+                angles.append(float(np.arctan2(g_C[1], g_C[0])))
+            else:
+                # optical axis near-vertical: align with world heading
+                # (repeatable, unlike the noise-dominated gravity proj.)
+                e_C = C_CW @ np.array([1.0, 0.0, 0.0])
+                angles.append(float(np.arctan2(e_C[1], e_C[0])))
+        return angles
+
+    def _consume_cycle(self, item: dict, fetched) -> None:
+        """Apply one fetched cycle: write back the solve of frame N-1,
+        run its post-solve stages, then consume frame N's frontend
+        (association + keyframe decision) and dispatch frame N's solve."""
+        from okvis2x_tpu.utils import timing
+
+        if isinstance(fetched, Exception):
+            raise fetched
+        est = self.est
+        front = item["front"]
+        fetched = list(fetched)
+        det_np, assoc_np = fetched[0], fetched[1]
+        k = 2
+        if item["solve"] is not None:
+            item["solve"]["packed_np"] = np.asarray(fetched[k]); k += 1
+        # deferred marginalisation edges land BEFORE the next problem build
+        for job in item.get("edge_jobs", ()):
+            est.apply_pending_edges(job, np.asarray(fetched[k])); k += 1
+        if item["solve"] is not None:
+            meta = item["solve_meta"]
+            with timing.Timer("2.5 CollectSolve"):
+                est.optimise_gated_collect(item["solve"])
+            self.synchronise_full_graph()
+            self._finish_frame(
+                meta["fid"], meta["t"], meta["is_kf"], meta["log_idx"]
+            )
+
+        fid, t = front["fid"], front["t"]
+        with timing.Timer("2.3 AssocConsume"):
+            frame_data, counts = self.frontend_consume(
+                front, np.asarray(det_np), np.asarray(assoc_np)
+            )
+        self._last_counts = counts
+        self._last_quality = self._tracking_quality(frame_data)
+        is_kf = self.need_keyframe(frame_data)
+        est.set_keyframe(fid, is_kf)
+        if is_kf:
+            self.last_kf_fid = fid
+        if front["depth_images"] is not None:
+            self.attach_depth_priors(fid, front["depth_images"])
+            self.depth_initialize(fid, frame_data, front["depth_images"])
+
+        est.repredict_latest()
+        gate_px = self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3
+        with timing.Timer("2.6 DispatchSolve"):
+            h_solve = est.optimise_gated_dispatch(fid, gate_px)
+        self._cycle = dict(
+            solve=h_solve,
+            solve_meta=dict(fid=fid, t=t, is_kf=is_kf,
+                            log_idx=front["log_idx"]),
+        )
+
+    def _process_frame_deferred(
+        self, t: float, images: List[np.ndarray], depth_images=None
+    ):
+        from okvis2x_tpu.utils import timing
+
+        est = self.est
+        with timing.Timer("2.1 AddState"):
+            fid = est.add_state(t)
+        f = est.get_state(fid)
+        # start the image H2D NOW — it streams during the prefetch wait
+        staged = self._stage_images(images)
+
+        # wait for the previous cycle's prefetched results (frontend of
+        # frame N-1 + solve of frame N-2), apply them, dispatch solve(N-1)
+        budget_overrun = False
+        if self._cycle is not None and "item" in self._cycle:
+            import time as _time
+
+            t_w0 = _time.perf_counter()
+            with timing.Timer("2.0 PrefetchWait"):
+                item, fetched = self._pf_out.get()
+            # the stall the realtime path experienced waiting for the
+            # device cycle IS the measurable budget quantity here
+            # (≙ CeresIterationCallback time limit)
+            budget_overrun = est.adapt_realtime_budget(
+                _time.perf_counter() - t_w0
+            )
+            self._consume_cycle(item, fetched)
+            # the consume corrected frame N-1; re-predict this frame from
+            # it before the frontend projects landmarks
+            f = est.get_state(fid)
+
+        # dispatch this frame's fused frontend; hand (frontend, solve) to
+        # the prefetch thread as one batched fetch
+        with timing.Timer("2.2 FrontDispatch"):
+            h_front = self.frontend_dispatch(
+                fid, t, staged, f.T_WS, depth_images
+            )
+        cyc = self._cycle if self._cycle is not None else {}
+        item = dict(
+            front=h_front,
+            solve=cyc.get("solve"),
+            solve_meta=cyc.get("solve_meta"),
+            # marginalisation edge programs dispatched during this frame's
+            # consume stage ride the same prefetch batch
+            edge_jobs=est.pending_edge_jobs,
+        )
+        est.pending_edge_jobs = []
+        self._pf_in.put(item)
+        self._cycle = {"item": True}
+
+        self.states_log.append((t, f.T_WS.copy()))
+        if self._tracks_csv and fid in self.frames:
+            self._write_tracks_csv(t, self.frames[fid])
+        n_map, n_stereo, n_motion = self._last_counts
+        return dict(
+            fid=fid, is_keyframe=False, n_map=n_map, n_stereo=n_stereo,
+            n_motion=n_motion, T_WS=f.T_WS.copy(), loop_closure=False,
+            tracking_quality=self._last_quality,
+            budget_overrun=budget_overrun,
+            realtime_iterations=est._rt_iters,
+        )
+
+    def _drain_deferred(self):
+        """Dataset end: consume the in-flight cycle, then collect the
+        final frame's solve synchronously."""
+        if self._pf_in is None:
+            return
+        if self._cycle is not None and "item" in self._cycle:
+            item, fetched = self._pf_out.get()
+            self._consume_cycle(item, fetched)
+        # the last _consume_cycle dispatched a solve that no later frame
+        # will collect — collect it now
+        if self._cycle is not None and self._cycle.get("solve") is not None:
+            self.est.optimise_gated_collect(self._cycle["solve"])
+            self.synchronise_full_graph()
+            m = self._cycle["solve_meta"]
+            self._finish_frame(m["fid"], m["t"], m["is_kf"], m["log_idx"])
+        # fold any still-pending marginalisation edges (final BA archives
+        # need them for pose-graph connectivity)
+        for job in self.est.pending_edge_jobs:
+            self.est.apply_pending_edges(job, np.asarray(job["out"]))
+        self.est.pending_edge_jobs = []
+        self._cycle = None
+        self._pf_in.put(None)
+        self._pf_thread.join(timeout=60.0)
 
     def reject_outliers(self, fid: int):
         """Stage 4b (≙ Frontend::removeOutliers): drop observations of this
@@ -915,7 +1289,8 @@ class VioPipeline:
             return False
         return self._lc_accept(prop)
 
-    def _lc_propose(self, fid: int, rec: dict, exclude: set, cur_p):
+    def _lc_propose(self, fid: int, rec: dict, exclude: set, cur_p,
+                    worker: bool = False):
         """Place-recognition proposal: vocabulary assignment, BoW query +
         database add, candidate policy, non-central-RANSAC verification.
         Touches NO estimator state (safe on the recognition worker thread;
@@ -935,7 +1310,11 @@ class VioPipeline:
         # multi-session relocalisation against loaded components first
         # (≙ Frontend.cpp:813-857 multi-session place recognition);
         # mutates the estimator, so components force the synchronous path
-        if self.components and self._attempt_relocalisation(fid, words, rec):
+        # and the worker thread must NEVER take this branch (items queued
+        # before load_component() would otherwise mutate the estimator
+        # off-thread, racing the main thread's solve)
+        if (not worker and self.components
+                and self._attempt_relocalisation(fid, words, rec)):
             return "relocalised"
         if not res:
             return None
@@ -1031,24 +1410,26 @@ class VioPipeline:
             if item is None:
                 return
             try:
-                rec = self.kf_records.get(item["fid"])
-                if rec is None:
-                    continue
-                if item["query"]:
-                    prop = self._lc_propose(
-                        item["fid"], rec, item["exclude"], item["cur_p"]
-                    )
-                else:
-                    # backlogged: index the keyframe, skip verification
-                    from okvis2x_tpu.frontend import bow
+                with self._lc_active:
+                    rec = self.kf_records.get(item["fid"])
+                    if rec is None:
+                        continue
+                    if item["query"]:
+                        prop = self._lc_propose(
+                            item["fid"], rec, item["exclude"], item["cur_p"],
+                            worker=True,
+                        )
+                    else:
+                        # backlogged: index the keyframe, skip verification
+                        from okvis2x_tpu.frontend import bow
 
-                    words = np.asarray(bow.assign_packed(
-                        rec["packed"], rec["valid"], self.vocab))
-                    rec["words"] = words
-                    self.bow_db.add(item["fid"], words, rec["valid"])
-                    prop = None
-                if isinstance(prop, dict):
-                    self._lc_results.put(prop)
+                        words = np.asarray(bow.assign_packed(
+                            rec["packed"], rec["valid"], self.vocab))
+                        rec["words"] = words
+                        self.bow_db.add(item["fid"], words, rec["valid"])
+                        prop = None
+                    if isinstance(prop, dict):
+                        self._lc_results.put(prop)
             except Exception:  # noqa: BLE001 — recognition must not kill SLAM
                 logging.exception("place-recognition worker failed")
 
@@ -1085,6 +1466,16 @@ class VioPipeline:
             return
         self._lc_queue.put(None)
         self._lc_thread.join(timeout=60.0)
+        if self._lc_thread.is_alive():
+            # the worker is wedged (device stall): keep the handle so
+            # finish() does not apply results while it may still be
+            # touching kf_records/bow_db
+            import logging
+
+            logging.warning(
+                "place-recognition worker did not drain within 60 s — "
+                "skipping its remaining results")
+            return
         self._lc_thread = None
 
     def _hold_loopclosure_frame(self, cand_fid: int):
@@ -1234,6 +1625,18 @@ class VioPipeline:
         descriptors (the reference ships a pretrained vocabulary)."""
         from okvis2x_tpu.frontend import bow
         from okvis2x_tpu.graph import component as comp_mod
+
+        # components force the synchronous recognition path: discard queued
+        # worker items and wait out any in-flight one, so the worker never
+        # touches bow_db concurrently with the now-synchronous main thread
+        if self._lc_queue is not None:
+            while True:
+                try:
+                    self._lc_queue.get_nowait()
+                except Exception:  # noqa: BLE001 — queue.Empty
+                    break
+            with self._lc_active:
+                pass  # barrier: in-flight worker item finished
 
         comp = comp_mod.load_component(path)
         if "records" not in comp:
@@ -1469,8 +1872,13 @@ class VioPipeline:
 
         pend = self._pending
         self._pending = None
+        import time as _time
+
+        t_c0 = _time.perf_counter()
         with timing.Timer("2.5 CollectSolve"):
             self.est.optimise_gated_collect(pend["h"])
+        # collect stall = how far the solve ran past its overlap window
+        self.est.adapt_realtime_budget(_time.perf_counter() - t_c0)
         # fold a finished background full-graph optimisation in AFTER the
         # window writeback (collect-then-sync keeps the two corrections
         # ordered; ≙ ThreadedSlam's synchronise points)
@@ -1512,9 +1920,12 @@ class VioPipeline:
                 self.states_log[log_idx] = (t, f.T_WS.copy())
 
         looped = False
+        # async recognition needs a PRETRAINED vocabulary: a vocab trained
+        # mid-session keeps the synchronous path (its bow_db was populated
+        # on the main thread, and switching threads mid-run would race it)
         use_async_pr = (
             self._lc_thread is not None and self.vocab is not None
-            and not self.components
+            and self._vocab_pretrained and not self.components
         )
         if self.cfg.do_loop_closures and use_async_pr:
             # apply recognition results as they land (any frame, ~2-3
@@ -1547,6 +1958,8 @@ class VioPipeline:
     ):
         from okvis2x_tpu.utils import timing
 
+        if self.cfg.deferred_frontend:
+            return self._process_frame_deferred(t, images, depth_images)
         est = self.est
         if self._pending is None:
             # dual-graph sync point: fold a finished background full-graph
@@ -1663,8 +2076,11 @@ class VioPipeline:
         the background full-graph optimisation (≙ ThreadedSlam joining
         fullGraphOptimisationThread_ before doFinalBa)."""
         self._collect_pending()
+        self._drain_deferred()
         self._lc_drain()
-        if self._lc_results is not None and self._lc_poll():
+        worker_live = self._lc_thread is not None and self._lc_thread.is_alive()
+        if (self._lc_results is not None and not worker_live
+                and self._lc_poll()):
             self.est.optimise()
             self.full_graph.dispatch(self.est)
         self.synchronise_full_graph(wait=True)

@@ -146,7 +146,14 @@ def empty_problem(
     Q: int = 0,
     dtype=jnp.float64,
 ) -> BAProblem:
-    """Allocate an all-invalid problem of the given capacities."""
+    """Allocate an all-invalid problem of the given capacities.
+
+    The dtype is resolved ONCE here (f64 only where x64 is enabled, i.e.
+    CPU hosts; f32 on TPU) so the precision choice is explicit rather than
+    a per-array truncation warning."""
+    import jax
+
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     i32 = jnp.int32
     idq = jnp.tile(se3.se3_identity(dtype), (K, 1))
     pre = _empty_pre(M, dtype)

@@ -159,6 +159,97 @@ def test_deskew_identity_when_static():
     np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-4)
 
 
+def test_predict_states_batch_matches_restarts():
+    """One incremental pass == independent predict_state restarts."""
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+    from okvis2x_tpu.imu.preintegration import ImuParams
+
+    params = ImuParams()
+    rng = np.random.default_rng(7)
+    n = 81
+    t = np.linspace(0.0, 0.4, n)
+    gyr = rng.normal(0, 0.6, (n, 3))
+    acc = rng.normal(0, 2.0, (n, 3)) + np.array([0, 0, params.g])
+    T0 = np.array([0.2, -0.1, 0.5, 0, 0, 0, 1.0])
+    v0 = np.array([0.5, -0.2, 0.1])
+    bg = np.array([0.01, -0.02, 0.005])
+    ba = np.array([0.05, 0.02, -0.03])
+    tq = np.sort(rng.uniform(0.02, 0.38, 25))
+    batch = pre_np.predict_states_batch(
+        params, t, gyr, acc, 0.0, tq, T0, v0, bg, ba
+    )
+    for i, t1 in enumerate(tq):
+        T_ref, _ = pre_np.predict_state(
+            params, t, gyr, acc, 0.0, float(t1), T0, v0, bg, ba
+        )
+        # const-velocity hold inside one 5 ms IMU interval: mm-level
+        np.testing.assert_allclose(batch[i, :3], T_ref[:3], atol=2e-3)
+        assert abs(np.dot(batch[i, 3:7], T_ref[3:7])) > 1 - 1e-5
+
+
+def test_deskew_imu_beats_interpolation_under_angular_accel():
+    """A sweep under angular acceleration: per-ray IMU deskew recovers
+    the static world points; two-state interpolation leaves residual
+    (≙ LidarMotionUndistortion propagating per-ray,
+    okvis_mapping/include/okvis/LidarMotionUndistortion.hpp:22-59)."""
+    from okvis2x_tpu.core import se3np
+    from okvis2x_tpu.imu import preintegration_np as pre_np
+    from okvis2x_tpu.imu.preintegration import ImuParams
+
+    params = ImuParams()
+    n = 41
+    dt_total = 0.2
+    t = np.linspace(0.0, dt_total, n)
+    # yaw rate ramps 0 -> 4 rad/s (angular acceleration: interpolation's
+    # constant-twist assumption is wrong, IMU propagation is exact)
+    gyr = np.stack([np.zeros(n), np.zeros(n), 20.0 * t], -1)
+    acc = np.tile(np.array([0, 0, params.g]), (n, 1))
+    T0 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+
+    class FA:
+        timestamp = 0.0
+        T_WS = T0
+        sb = np.zeros(9)
+
+    # ground-truth pose at each ray time via fine integration
+    world_pts = np.array([[5.0, 1.0, 0.5], [2.0, -3.0, 1.0], [4.0, 4.0, -1.0]])
+    t_point = np.repeat(np.linspace(0.0, dt_total, 10), 3)
+    pts_raw = np.zeros((len(t_point), 3))
+    for i, tp in enumerate(t_point):
+        T_i, _ = pre_np.predict_state(
+            params, t, gyr, acc, 0.0, float(tp), T0, np.zeros(3),
+            np.zeros(3), np.zeros(3),
+        )
+        R = se3np.quat_to_matrix(T_i[3:7])
+        pts_raw[i] = R.T @ (world_pts[i % 3] - T_i[:3])
+
+    out, T_end = lidar.deskew_imu(
+        params, t, gyr, acc, FA, t_point, pts_raw
+    )
+    R_end = se3np.quat_to_matrix(T_end[3:7])
+    rebuilt = out @ R_end.T + T_end[:3]
+    err_imu = np.linalg.norm(rebuilt - world_pts[np.arange(len(t_point)) % 3], axis=1)
+    assert err_imu.max() < 5e-3
+
+    # two-state interpolation on the same sweep
+    T1, _ = pre_np.predict_state(
+        params, t, gyr, acc, 0.0, dt_total, T0, np.zeros(3),
+        np.zeros(3), np.zeros(3),
+    )
+    interp = np.asarray(lidar.deskew(
+        jnp.asarray(T0, F32), jnp.asarray(T1, F32),
+        jnp.asarray(t_point / dt_total, F32), jnp.asarray(pts_raw, F32),
+    ))
+    R1 = se3np.quat_to_matrix(T1[3:7])
+    rebuilt_i = interp @ R1.T + T1[:3]
+    err_interp = np.linalg.norm(
+        rebuilt_i - world_pts[np.arange(len(t_point)) % 3], axis=1
+    )
+    # ramping yaw: midpoint-of-sweep rays are centimetres off under
+    # constant-twist interpolation, recovered by IMU propagation
+    assert err_interp.max() > 5 * err_imu.max()
+
+
 def test_voxel_downsample():
     pts = RNG.uniform(0, 1.0, (500, 3))
     out = lidar.voxel_downsample(pts, voxel=0.25, max_per_voxel=1)

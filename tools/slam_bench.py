@@ -89,6 +89,10 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
         # one device execution saved per frame; the robust window solve +
         # post-solve chi2 pass recover the same outliers
         pose_refine=False,
+        # ONE fused frontend program per frame, consumed one frame later
+        # off a background prefetch thread — the steady frame path never
+        # blocks on the ~30 ms-per-round-trip remote device
+        deferred_frontend=True,
     )
     cam = ds.camera if hasattr(ds, "camera") else None
     # the synthetic dataset ships its intrinsics via sensor.yaml; EuRoC
