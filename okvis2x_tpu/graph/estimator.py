@@ -172,6 +172,11 @@ class SlidingWindowEstimator:
         self.obs_sigma = np.zeros((0,))
         self.obs_depth = np.zeros((0,))        # per-keypoint depth prior
         self.obs_depth_sigma = np.zeros((0,))  # 0 => inactive
+        # persistent observation row ids: dispatched solves flag outliers
+        # by uid, so removal stays correct even when marginalisation
+        # reorders/filters the tables between dispatch and collect
+        self.obs_uid = np.zeros((0,), np.int64)
+        self._obs_uid_next = 0
 
         # IMU raw measurement buffer: amortised growable arrays + start
         # offset (per-sample np.append is O(n²) over minutes-long runs)
@@ -470,28 +475,42 @@ class SlidingWindowEstimator:
         run = self._preintegrate_batch_fn()
         return run(*self._span_buffers(spans, n_rows, S, imu_arrays))
 
-    def repredict_latest(self):
-        """Re-run the IMU prediction of the NEWEST state from its
-        (just-corrected) predecessor — used by the pipelined frame loop
-        after collecting the previous frame's solve, so the dispatched
+    def repredict_after(self, fid: int):
+        """Re-run the IMU prediction of every chain state NEWER than
+        `fid` (the newest frame covered by a just-collected solve), so
+        the next dispatched problem linearises around predictions rolled
+        forward from corrected states — never overwriting a solved pose
+        with a prediction."""
+        chain = self._chain_frames()
+        idx = None
+        for i, f in enumerate(chain):
+            if f.fid <= fid:
+                idx = i
+        if idx is None:
+            return
+        self.repredict_latest(tail=len(chain) - 1 - idx)
+
+    def repredict_latest(self, tail: int = 1):
+        """Re-run the IMU prediction of the newest `tail` chain states
+        from their (just-corrected) predecessors — used by the pipelined
+        frame loop after collecting a previous solve, so the dispatched
         problem linearises around the corrected prediction rather than
         the stale one."""
+        if tail <= 0:
+            return
         chain = self._chain_frames()
-        if len(chain) < 2:
-            return
-        a, b = chain[-2], chain[-1]
-        if b is not self.frames[-1]:
-            return
-        i0, i1 = self._imu_span(a.timestamp, b.timestamp)
-        if i1 - i0 < 2:
-            return
-        T1, v1 = pre_np.predict_state(
-            self.cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
-            self.imu_acc[i0:i1], a.timestamp, b.timestamp,
-            a.T_WS, a.sb[0:3], a.sb[3:6], a.sb[6:9],
-        )
-        b.T_WS = T1
-        b.sb = np.concatenate([v1, a.sb[3:9]])
+        for k in range(max(len(chain) - tail, 1), len(chain)):
+            a, b = chain[k - 1], chain[k]
+            i0, i1 = self._imu_span(a.timestamp, b.timestamp)
+            if i1 - i0 < 2:
+                continue
+            T1, v1 = pre_np.predict_state(
+                self.cfg.imu, self.imu_t[i0:i1], self.imu_gyr[i0:i1],
+                self.imu_acc[i0:i1], a.timestamp, b.timestamp,
+                a.T_WS, a.sb[0:3], a.sb[3:6], a.sb[6:9],
+            )
+            b.T_WS = T1
+            b.sb = np.concatenate([v1, a.sb[3:9]])
 
     # -------------------------------------------------- chained imu links
     def _chain_frames(self) -> List[FrameState]:
@@ -687,6 +706,8 @@ class SlidingWindowEstimator:
         )
         self.obs_depth = np.append(self.obs_depth, depth)
         self.obs_depth_sigma = np.append(self.obs_depth_sigma, depth_sigma)
+        self.obs_uid = np.append(self.obs_uid, self._obs_uid_next)
+        self._obs_uid_next += 1
 
     def add_observations_batch(
         self, fid: int, cam, lid, uv, sigma=None, depth=None,
@@ -718,6 +739,11 @@ class SlidingWindowEstimator:
             np.zeros(n) if depth_sigma is None
             else np.asarray(depth_sigma, np.float64),
         )
+        self.obs_uid = np.append(
+            self.obs_uid,
+            np.arange(self._obs_uid_next, self._obs_uid_next + n),
+        )
+        self._obs_uid_next += n
 
     def set_keyframe(self, fid: int, is_kf: bool = True):
         self._frame_by_id(fid).is_keyframe = is_kf
@@ -772,6 +798,7 @@ class SlidingWindowEstimator:
             dtype=bool,
         ) if len(self.obs_fid) else np.zeros((0,), bool)
         obs_src = np.nonzero(live)[0]  # problem row -> host obs index
+        obs_src_uids = None
         if len(obs_src) > Ncap:
             # degrade, don't die: drop the OLDEST live observations beyond
             # capacity (obs arrays are append-ordered)
@@ -782,6 +809,7 @@ class SlidingWindowEstimator:
             live = np.zeros_like(live)
             live[obs_src] = True
         of = self.obs_fid[live]
+        obs_src_uids = self.obs_uid[live]
         n_obs = len(of)
         obs_frame = np.zeros(Ncap, np.int32)
         obs_cam = np.zeros(Ncap, np.int32)
@@ -990,7 +1018,7 @@ class SlidingWindowEstimator:
                     icp_valid=icp_valid,
                     icp_map=self.icp_map,
                 )
-        return p, fid2slot, gps_bufs, obs_src
+        return p, fid2slot, gps_bufs, (obs_src, obs_src_uids)
 
     def set_icp_map(self, sm, grid_cfg):
         """Register the active submap as the live ICP target (called after
@@ -1186,6 +1214,7 @@ class SlidingWindowEstimator:
         return dict(
             p_opt=p_opt, packed=packed_d, fid2slot=fid2slot,
             obs_src=obs_src, nl=len(self.lm_ids), fid=fid,
+            lm_lids=np.array(self.lm_ids, np.int64),
         )
 
     def optimise_gated_collect(self, h: dict):
@@ -1220,23 +1249,31 @@ class SlidingWindowEstimator:
                 fr = self._frame_by_id(f)
                 fr.T_WS = T[slot].astype(np.float64)
                 fr.sb = sb[slot].astype(np.float64)
-            nl = min(h["nl"], len(self.lm_ids))
-            # landmarks appended since dispatch keep their host values
-            # (hp_W may be a read-only view, so rebuild instead of slicing)
-            self.hp_W = np.concatenate(
-                [hp[:nl].astype(np.float64), self.hp_W[nl:]]
-            )
+            # landmark writeback BY ID: rows map through the dispatch-time
+            # lid snapshot, so landmarks pruned/compacted between dispatch
+            # and collect (pipeline depth >= 2 runs marginalisation in
+            # that window) land in the right rows — or nowhere
+            snap = h["lm_lids"]
+            if len(snap):
+                tgt = np.array(
+                    [self.lm_index.get(l, -1) for l in snap], np.int64
+                )
+                ok = tgt >= 0
+                if not self.hp_W.flags.writeable:
+                    self.hp_W = self.hp_W.copy()
+                self.hp_W[tgt[ok]] = hp[:len(snap)][ok].astype(np.float64)
             if self.cfg.do_extrinsics:
                 self.T_SC = T_SC.astype(np.float64)
             if self.gps_status == "Initialised":
                 self.T_GW = T_GW.astype(np.float64)
             out_rows = np.nonzero(out_mask)[0]
-        obs_src = h["obs_src"]
+        obs_src, obs_uids = h["obs_src"]
         n_out = len(out_rows)
         if n_out:
-            bad = obs_src[out_rows[out_rows < len(obs_src)]]
-            keep = np.ones(len(self.obs_fid), bool)
-            keep[bad] = False
+            # outlier removal BY UID (indices shift under concurrent
+            # marginalisation; uids never do)
+            bad_uids = obs_uids[out_rows[out_rows < len(obs_uids)]]
+            keep = ~np.isin(self.obs_uid, bad_uids)
             self.obs_fid = self.obs_fid[keep]
             self.obs_cam = self.obs_cam[keep]
             self.obs_lid = self.obs_lid[keep]
@@ -1244,6 +1281,7 @@ class SlidingWindowEstimator:
             self.obs_sigma = self.obs_sigma[keep]
             self.obs_depth = self.obs_depth[keep]
             self.obs_depth_sigma = self.obs_depth_sigma[keep]
+            self.obs_uid = self.obs_uid[keep]
         return float(cost), n_out
 
     def adapt_realtime_budget(self, solve_wall_s: float) -> bool:
@@ -1316,6 +1354,7 @@ class SlidingWindowEstimator:
             self.obs_sigma = self.obs_sigma[keep]
             self.obs_depth = self.obs_depth[keep]
             self.obs_depth_sigma = self.obs_depth_sigma[keep]
+        self.obs_uid = self.obs_uid[keep]
 
     def _prune_landmarks(self):
         """Remove landmarks with no remaining observations (their final
@@ -1656,6 +1695,7 @@ class SlidingWindowEstimator:
         self.obs_sigma = self.obs_sigma[keep]
         self.obs_depth = self.obs_depth[keep]
         self.obs_depth_sigma = self.obs_depth_sigma[keep]
+        self.obs_uid = self.obs_uid[keep]
 
     # -- archived-observation views (backed by the growable stores) --------
     @property
@@ -1833,6 +1873,11 @@ class SlidingWindowEstimator:
             self.obs_depth_sigma = np.append(
                 self.obs_depth_sigma, self.arch_obs_depth_sigma[ki]
             )
+            self.obs_uid = np.append(
+                self.obs_uid,
+                np.arange(self._obs_uid_next, self._obs_uid_next + len(ki)),
+            )
+            self._obs_uid_next += len(ki)
         if len(take):
             inv = np.ones(len(self.arch_obs_fid), bool)
             inv[take] = False
@@ -1911,6 +1956,7 @@ class SlidingWindowEstimator:
         self.obs_sigma = self.obs_sigma[keep]
         self.obs_depth = self.obs_depth[keep]
         self.obs_depth_sigma = self.obs_depth_sigma[keep]
+        self.obs_uid = self.obs_uid[keep]
         f.expanded = False
         f.pose_fixed = True
         self.frames.remove(f)

@@ -115,16 +115,29 @@ class PipelineConfig:
     pipelined_solve: bool = True
     # deferred-frontend pipeline: ONE fused device program per frame
     # (detect+describe+associate) dispatched asynchronously and consumed
-    # one frame later, with the window solve's results riding the same
-    # batched fetch on a background prefetch thread — the main thread
-    # never blocks on the device in steady state.  The remote TPU runtime
-    # charges ~30 ms per synchronous round trip, so the synchronous path's
+    # `pipeline_depth` frames later, with the window solve's results and
+    # deferred marginalisation edges riding the same batched fetch on
+    # per-item background fetcher threads — the main thread never blocks
+    # on the device in steady state.  The remote TPU runtime charges
+    # ~30 ms per synchronous round trip, so the synchronous path's
     # 3 syncs/frame cap it at ~5 fps regardless of device speed.  Costs:
-    # association matches against a one-frame-stale map (absorbed by
-    # match_radius_px) and per-frame info reports the PREVIOUS frame's
-    # association counts.  ≙ running the reference's frontend + backend
-    # threads fully decoupled (ThreadedSlam.cpp:945-960).
+    # association matches against a pipeline_depth-frame-stale map
+    # (absorbed by match_radius_px) and per-frame info reports the
+    # association counts of the last consumed frame.  ≙ running the
+    # reference's frontend + backend threads fully decoupled
+    # (ThreadedSlam.cpp:945-960).
     deferred_frontend: bool = False
+    # in-flight fused-frontend cycles: 1 = consume one frame later;
+    # 2 overlaps consecutive cycles' device work at the cost of
+    # one-frame-staler association.  Measured on the tunnel runtime:
+    # depth 2 did NOT raise throughput (5.6 vs 8.3 fps — concurrent cycle
+    # RPCs contend rather than overlap) and cost accuracy, so 1 is the
+    # default; the machinery stays depth-general.
+    pipeline_depth: int = 1
+    # frames processed at depth 1 before deepening: initialisation
+    # (priors, first triangulations, first keyframes) is the fragile
+    # phase; deep pipelining there costs real ATE for warmup-only speed
+    pipeline_ramp_frames: int = 25
 
 
 class FrameData:
@@ -171,61 +184,18 @@ class VioPipeline:
         # solve of the previous frame + last solved pose for path length
         self._pending = None
         self._last_solved_T = None
-        # deferred-frontend pipeline: in-flight cycle + prefetch thread
-        self._cycle = None  # dict(front=..., solve=..., solve_meta=...)
-        self._pf_thread = None
-        self._pf_in = None
-        self._pf_out = None
+        # deferred-frontend pipeline: deque of in-flight cycles, each with
+        # its own background fetcher thread, + the solve handle awaiting
+        # packaging into the next submitted cycle
+        import collections
+
+        self._inflight = collections.deque()
+        self._next_solve = None  # dict(solve=h, solve_meta=...)
         self._last_counts = (0, 0, 0)
         self._last_quality = None
         if cfg.deferred_frontend:
-            import queue as queue_mod
-            import threading
-
             self.est.defer_edge_jobs = True
-            self._pf_in = queue_mod.Queue()
-            self._pf_out = queue_mod.Queue()
 
-            def _pf_loop():
-                # per-array fetch threads: the tunnel runtime executes
-                # concurrent D2H RPCs in parallel (measured: 2 parallel
-                # fetches ≈ 38 ms wall vs 73 ms sequential;
-                # jax.device_get on a tuple serialises them)
-                while True:
-                    item = self._pf_in.get()
-                    if item is None:
-                        return
-                    arrs = [item["front"]["det"], item["front"]["assoc"]]
-                    if item["solve"] is not None:
-                        arrs.append(item["solve"]["packed"])
-                    for job in item.get("edge_jobs", ()):
-                        arrs.append(job["out"])
-                    fetched = [None] * len(arrs)
-
-                    def _get(k, a):
-                        try:
-                            fetched[k] = np.asarray(a)
-                        except Exception as e:  # noqa: BLE001
-                            fetched[k] = e
-
-                    ths = [
-                        threading.Thread(target=_get, args=(k, a))
-                        for k, a in enumerate(arrs)
-                    ]
-                    for th in ths:
-                        th.start()
-                    for th in ths:
-                        th.join()
-                    err = next(
-                        (x for x in fetched if isinstance(x, Exception)),
-                        None,
-                    )
-                    self._pf_out.put((item, err or fetched))
-
-            self._pf_thread = threading.Thread(
-                target=_pf_loop, name="device-prefetch", daemon=True
-            )
-            self._pf_thread.start()
         # loop-closure frames currently held in the window + merge counter
         self.lc_frames: List[int] = []
         self.n_landmarks_merged = 0
@@ -810,6 +780,50 @@ class VioPipeline:
             est.add_observations_batch(fid, c, fd.lid[ks], fd.uv[ks])
             n_map += len(ks)
 
+        # landmark dedup (pipeline_depth > 1): cycles in flight cannot see
+        # landmarks born after their dispatch, so their triangulations may
+        # duplicate frame-old points.  A new candidate is identified with
+        # an existing landmark only when that landmark REPROJECTS onto the
+        # candidate's cam0 keypoint (≤ 3 px) AND sits at a consistent
+        # range — position-only radii merge distinct points in dense
+        # scenes (measured: ATE 0.22 vs 0.11 on the smoke circuit)
+        dedup = None
+        if self.cfg.deferred_frontend and self.cfg.pipeline_depth > 1 \
+                and est.lm_ids:
+            try:
+                f_cur = est.get_state(fid)
+                uv_pred, vis_pred = self._project_landmarks(
+                    0, f_cur.T_WS, est.hp_W
+                )
+                w = np.where(
+                    np.abs(est.hp_W[:, 3]) > 1e-9, est.hp_W[:, 3], 1.0
+                )
+                dedup = (np.array(est.lm_ids, np.int64),
+                         est.hp_W[:, :3] / w[:, None], uv_pred, vis_pred)
+            except KeyError:
+                dedup = None
+        claimed = set()
+        for fd in frame_data:
+            claimed.update(fd.lid[fd.lid >= 0].tolist())
+
+        def dedup_or_add(hp_new, kp_uv0):
+            """Existing landmark reprojecting onto this keypoint, else a
+            fresh one."""
+            if dedup is not None:
+                lids_t, p_t, uv_t, vis_t = dedup
+                p_new = hp_new[:3] / (hp_new[3] if abs(hp_new[3]) > 1e-9
+                                      else 1.0)
+                dpx = np.linalg.norm(uv_t - kp_uv0, axis=1)
+                dpx = np.where(vis_t, dpx, np.inf)
+                j = int(np.argmin(dpx)) if len(dpx) else -1
+                if (j >= 0 and dpx[j] < 3.0
+                        and np.linalg.norm(p_t[j] - p_new)
+                        < 0.1 * max(np.linalg.norm(p_new), 1.0)
+                        and int(lids_t[j]) not in claimed
+                        and int(lids_t[j]) in est.lm_index):
+                    return int(lids_t[j])
+            return est.add_landmark(hp_new)
+
         # ---- consume stereo initialisations
         n_stereo = 0
         if self.num_cams >= 2:
@@ -821,9 +835,10 @@ class VioPipeline:
                 if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
                     continue
                 used0.add(i0)
-                lid = est.add_landmark(st_hp[i1])
+                lid = dedup_or_add(st_hp[i1], fd0.uv[i0])
                 if lid < 0:
                     continue
+                claimed.add(lid)
                 self.lm_desc[lid] = fd0.packed[i0]
                 fd0.lid[i0] = lid
                 fd1.lid[i1] = lid
@@ -854,9 +869,10 @@ class VioPipeline:
                 if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
                     continue
                 used_k.add(i_k)
-                lid = est.add_landmark(mo_hp[i_c])
+                lid = dedup_or_add(mo_hp[i_c], fd.uv[i_c])
                 if lid < 0:
                     continue
+                claimed.add(lid)
                 self.lm_desc[lid] = kfd.packed[i_k]
                 fd.lid[i_c] = lid
                 kfd.lid[i_k] = lid
@@ -893,6 +909,68 @@ class VioPipeline:
         return self._assoc_consume(fid, frame_data, st, flts)
 
     # ---------------------------------------------- deferred frontend cycle
+    def _submit_item(self, item: dict):
+        """Start a background fetcher for this cycle's device arrays.
+        Per-array fetch threads: the tunnel runtime executes concurrent
+        D2H RPCs in parallel (measured: 2 parallel fetches ≈ 38 ms wall
+        vs 73 ms sequential; jax.device_get on a tuple serialises), and
+        per-ITEM threads let consecutive cycles' fetches overlap."""
+        import threading
+
+        arrs = [item["front"]["det"], item["front"]["assoc"]]
+        names = ["det", "assoc"]
+        if item["solve"] is not None:
+            arrs.append(item["solve"]["packed"])
+            names.append("solve")
+        for job in item.get("edge_jobs", ()):
+            arrs.append(job["out"])
+            names.append("edge")
+        ev = threading.Event()
+        item["_ev"] = ev
+        import time as _time
+
+        t_submit = _time.perf_counter()
+
+        def run():
+            from okvis2x_tpu.utils import timing
+
+            fetched = [None] * len(arrs)
+
+            def _get(k, a):
+                t0 = _time.perf_counter()
+                try:
+                    fetched[k] = np.asarray(a)
+                except Exception as e:  # noqa: BLE001 — surfaced on main
+                    fetched[k] = e
+                timing.add_sample(
+                    f"2.B Fetch[{names[k]}]", _time.perf_counter() - t0
+                )
+
+            ths = [
+                threading.Thread(target=_get, args=(k, a))
+                for k, a in enumerate(arrs)
+            ]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join()
+            err = next(
+                (x for x in fetched if isinstance(x, Exception)), None
+            )
+            item["_result"] = err or fetched
+            timing.add_sample(
+                "2.A FetchWall", _time.perf_counter() - t_submit
+            )
+            ev.set()
+
+        threading.Thread(target=run, daemon=True).start()
+        self._inflight.append(item)
+
+    def _pop_item(self):
+        item = self._inflight.popleft()
+        item["_ev"].wait()
+        return item, item["_result"]
+
     def _stage_images(self, images: List[np.ndarray]):
         """Pad + uint8-pack the camera images and START their device
         upload (async): called before the prefetch wait so the ~25 ms
@@ -1004,11 +1082,17 @@ class VioPipeline:
             self.attach_depth_priors(fid, front["depth_images"])
             self.depth_initialize(fid, frame_data, front["depth_images"])
 
-        est.repredict_latest()
+        if item["solve"] is not None:
+            live = {fr.fid for fr in est.frames}
+            solved = [
+                f2 for f2 in item["solve"]["fid2slot"] if f2 in live
+            ]
+            if solved:
+                est.repredict_after(max(solved))
         gate_px = self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3
         with timing.Timer("2.6 DispatchSolve"):
             h_solve = est.optimise_gated_dispatch(fid, gate_px)
-        self._cycle = dict(
+        self._next_solve = dict(
             solve=h_solve,
             solve_meta=dict(fid=fid, t=t, is_kf=is_kf,
                             log_idx=front["log_idx"]),
@@ -1026,44 +1110,51 @@ class VioPipeline:
         # start the image H2D NOW — it streams during the prefetch wait
         staged = self._stage_images(images)
 
-        # wait for the previous cycle's prefetched results (frontend of
-        # frame N-1 + solve of frame N-2), apply them, dispatch solve(N-1)
+        # consume finished cycles.  Steady state keeps pipeline_depth
+        # cycles in flight; the first pipeline_ramp_frames run at depth 1
+        # (initialisation is the accuracy-fragile phase), and during
+        # bootstrap (no landmarks yet) consume eagerly so the first
+        # stereo initialisation reaches the tables before more frontends
+        # dispatch against an empty map.
+        self._n_frames_seen = getattr(self, "_n_frames_seen", 0) + 1
+        depth = (1 if self._n_frames_seen <= self.cfg.pipeline_ramp_frames
+                 else self.cfg.pipeline_depth)
         budget_overrun = False
-        if self._cycle is not None and "item" in self._cycle:
+        while len(self._inflight) >= depth or (
+            self._inflight and not est.lm_ids
+        ):
             import time as _time
 
             t_w0 = _time.perf_counter()
             with timing.Timer("2.0 PrefetchWait"):
-                item, fetched = self._pf_out.get()
+                item, fetched = self._pop_item()
             # the stall the realtime path experienced waiting for the
             # device cycle IS the measurable budget quantity here
             # (≙ CeresIterationCallback time limit)
             budget_overrun = est.adapt_realtime_budget(
                 _time.perf_counter() - t_w0
-            )
+            ) or budget_overrun
             self._consume_cycle(item, fetched)
-            # the consume corrected frame N-1; re-predict this frame from
-            # it before the frontend projects landmarks
+            # the consume corrected earlier frames; re-predict this frame
+            # from them before the frontend projects landmarks
             f = est.get_state(fid)
 
-        # dispatch this frame's fused frontend; hand (frontend, solve) to
-        # the prefetch thread as one batched fetch
+        # dispatch this frame's fused frontend; package it with the solve
+        # dispatched by the latest consume + any deferred edge programs
         with timing.Timer("2.2 FrontDispatch"):
             h_front = self.frontend_dispatch(
                 fid, t, staged, f.T_WS, depth_images
             )
-        cyc = self._cycle if self._cycle is not None else {}
+        nxt = self._next_solve or {}
         item = dict(
             front=h_front,
-            solve=cyc.get("solve"),
-            solve_meta=cyc.get("solve_meta"),
-            # marginalisation edge programs dispatched during this frame's
-            # consume stage ride the same prefetch batch
+            solve=nxt.get("solve"),
+            solve_meta=nxt.get("solve_meta"),
             edge_jobs=est.pending_edge_jobs,
         )
+        self._next_solve = None
         est.pending_edge_jobs = []
-        self._pf_in.put(item)
-        self._cycle = {"item": True}
+        self._submit_item(item)
 
         self.states_log.append((t, f.T_WS.copy()))
         if self._tracks_csv and fid in self.frames:
@@ -1078,28 +1169,31 @@ class VioPipeline:
         )
 
     def _drain_deferred(self):
-        """Dataset end: consume the in-flight cycle, then collect the
+        """Dataset end: consume every in-flight cycle, then collect the
         final frame's solve synchronously."""
-        if self._pf_in is None:
+        if not self.cfg.deferred_frontend:
             return
-        if self._cycle is not None and "item" in self._cycle:
-            item, fetched = self._pf_out.get()
+        # each consume dispatches a solve no later frame will package —
+        # stash them and collect IN DISPATCH ORDER after the in-flight
+        # cycles (their carried solves are older; writebacks must stay
+        # monotonic so newer estimates are never overwritten by older)
+        pending_solves = []
+        while self._inflight:
+            item, fetched = self._pop_item()
             self._consume_cycle(item, fetched)
-        # the last _consume_cycle dispatched a solve that no later frame
-        # will collect — collect it now
-        if self._cycle is not None and self._cycle.get("solve") is not None:
-            self.est.optimise_gated_collect(self._cycle["solve"])
+            if self._next_solve is not None:
+                pending_solves.append(self._next_solve)
+                self._next_solve = None
+        for nxt in pending_solves:
+            self.est.optimise_gated_collect(nxt["solve"])
             self.synchronise_full_graph()
-            m = self._cycle["solve_meta"]
+            m = nxt["solve_meta"]
             self._finish_frame(m["fid"], m["t"], m["is_kf"], m["log_idx"])
         # fold any still-pending marginalisation edges (final BA archives
         # need them for pose-graph connectivity)
         for job in self.est.pending_edge_jobs:
             self.est.apply_pending_edges(job, np.asarray(job["out"]))
         self.est.pending_edge_jobs = []
-        self._cycle = None
-        self._pf_in.put(None)
-        self._pf_thread.join(timeout=60.0)
 
     def reject_outliers(self, fid: int):
         """Stage 4b (≙ Frontend::removeOutliers): drop observations of this
@@ -1131,6 +1225,7 @@ class VioPipeline:
             est.obs_sigma = est.obs_sigma[keep]
             est.obs_depth = est.obs_depth[keep]
             est.obs_depth_sigma = est.obs_depth_sigma[keep]
+            est.obs_uid = est.obs_uid[keep]
         return len(bad)
 
     @staticmethod

@@ -37,6 +37,16 @@ class _Acc:
 _registry: Dict[str, _Acc] = {}
 
 
+def add_sample(name: str, dt: float):
+    """Record an externally measured duration under `name` (e.g. from a
+    background thread that can't scope a Timer around its region)."""
+    if not enabled:
+        return
+    if name not in _registry:
+        _registry[name] = _Acc()
+    _registry[name].add(dt)
+
+
 class Timer:
     """Context manager / manual start-stop timer."""
 

@@ -155,3 +155,69 @@ def test_mvs_net_contract():
         lambda p, r, s, k, t: net.apply(p, r, s, k, t, None)
     )(params, ref, srcs, K, jnp.asarray(T))
     assert not np.allclose(np.asarray(depth2), d)
+
+
+def test_trained_stereo_artifact_beats_census():
+    """The shipped resources/stereo_net.npz must (a) load, (b) carry eval
+    metadata showing it beat census on held-out pairs at training time,
+    and (c) actually beat census on a freshly rendered noisy pair here
+    (≙ the reference shipping stereo-indoor-sigma.pt and defaulting to
+    it, okvis_deep_learning/src/Stereo2DepthProcessor.cpp:65-202)."""
+    import numpy as np
+
+    from okvis2x_tpu.cameras import pinhole, pinhole_np
+    from okvis2x_tpu.core import se3np
+    from okvis2x_tpu.io import synthetic
+    from okvis2x_tpu.models import stereo_net
+
+    params, meta = stereo_net.load_params()
+    assert params is not None, "resources/stereo_net.npz missing"
+    assert meta["rmse_net"] < meta["rmse_census"], meta
+
+    H, W, fx, baseline = 192, 256, 230.0, 0.11
+    cam = pinhole.make_pinhole(
+        fx=fx, fy=fx, cx=W / 2, cy=H / 2, width=W, height=H,
+        model="radtan", dist_params=[0, 0, 0, 0],
+    )
+    cam_np = pinhole_np.to_numpy(cam)
+    rng = np.random.default_rng(41)
+    pts, bright, rad = synthetic.make_scene(n_points=900, seed=77)
+    center = pts.mean(0)
+    pos = center + np.array([0.5, -0.3, -center[2] - 0.2])
+    T_WC0 = np.r_[pos, [0, 0, 0, 1.0]]
+    dx = se3np.quat_to_matrix(T_WC0[3:7]) @ np.array([baseline, 0, 0])
+    T_WC1 = np.r_[pos + dx, [0, 0, 0, 1.0]]
+    left = synthetic.render_image(cam_np, T_WC0, pts, bright, rad, seed=5)
+    right = synthetic.render_image(cam_np, T_WC1, pts, bright, rad, seed=5)
+    left = np.clip(left + rng.normal(0, 0.06, left.shape), 0, 1)
+    right = np.clip(right + rng.normal(0, 0.06, right.shape), 0, 1)
+    depth = synthetic.render_depth(cam_np, T_WC0, pts)
+    gt_disp = np.where(depth > 0.1, fx * baseline / np.maximum(depth, 0.1), 0.0)
+
+    net = stereo_net.StereoNet(max_disp=64)
+    disp_n, _ = net.apply(params, jnp.asarray(left, jnp.float32),
+                          jnp.asarray(right, jnp.float32))
+    from okvis2x_tpu.models import stereo as stereo_mod
+
+    disp_c, _, valid_c = stereo_mod.census_stereo(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+        max_disp=64,
+    )
+    m = (gt_disp > 0.5) & (gt_disp < 63)
+    assert m.sum() > 500
+    e_net = np.sqrt(np.mean((np.asarray(disp_n)[m] - gt_disp[m]) ** 2))
+    mc = m & np.asarray(valid_c)
+    e_cen = np.sqrt(np.mean((np.asarray(disp_c)[mc] - gt_disp[mc]) ** 2))
+    assert e_net < e_cen, (e_net, e_cen)
+
+
+def test_stereo_depth_engine_dispatch():
+    """engine='net' must raise without... (with the artifact shipped it
+    runs); 'auto' uses the net only when its recorded eval wins."""
+    from okvis2x_tpu.models import stereo as stereo_mod
+
+    left = jnp.asarray(np.ones((64, 96), np.float32) * 0.5)
+    right = left
+    out = stereo_mod.stereo_depth(left, right, fx=200.0, baseline=0.1,
+                                  engine="net")
+    assert out.depth.shape == (64, 96)
