@@ -164,6 +164,7 @@ def main():
         vi = cfg_mod.load(args.config)
         cameras = [c.camera for c in vi.cameras[:2]]
         T_SC = np.stack([c.T_SC for c in vi.cameras[:2]])
+        main._cam0_is_colour = vi.cameras[0].is_colour
         gt = None
 
     ds = pick_reader(args.reader, ds_dir, len(cameras))
@@ -269,9 +270,18 @@ def main():
                 T_WC = np.asarray(
                     se3.se3_multiply(jnp.asarray(T_WS), jnp.asarray(T_SC[0]))
                 )
+                # colour integration when cam0 is an rgb camera
+                # (okvis2.yaml camera_type; ≙ isColour warp into
+                # OccupancyColIdMap, SubmappingInterface.cpp:848-888)
+                col_img = None
+                if getattr(main, "_cam0_is_colour", False):
+                    col_img = np.asarray(images[0], np.float32)
+                    if col_img.max() > 1.5:
+                        col_img = col_img / 255.0
                 submapper.integrate_depth(
                     info["fid"], T_WS, T_WC, cameras[0],
                     np.asarray(sd.depth), np.asarray(sd.sigma),
+                    colour=col_img,
                 )
 
         if n % 50 == 0:

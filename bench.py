@@ -108,12 +108,18 @@ def bench_detect():
 
 
 def bench_slam():
-    """Bounded reference-scale SLAM run (cached circuit dataset)."""
+    """Bounded reference-scale SLAM run (cached circuit dataset).
+
+    The window covers 60 s of the 46 s-lap circuit so the measured
+    throughput includes the first revisit: loop-closure verification,
+    landmark merging, the background full-graph solve and re-anchoring
+    all run INSIDE the timed region (the reference pays these costs in
+    its realtime loop too, ViSlamBackend.cpp:2361-2556)."""
     from tools import slam_bench
 
-    frames = int(os.environ.get("BENCH_SLAM_FRAMES", "200"))
+    frames = int(os.environ.get("BENCH_SLAM_FRAMES", "1200"))
     res = slam_bench.run(
-        duration=30.0, warmup_frames=40, verbose=False, max_frames=frames
+        duration=65.0, warmup_frames=40, verbose=False, max_frames=frames
     )
     return res
 

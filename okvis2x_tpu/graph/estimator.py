@@ -129,6 +129,8 @@ class SlidingWindowEstimator:
 
     def __init__(self, config: EstimatorConfig, cameras, T_SC: np.ndarray):
         self.cfg = config
+        # the gated solve packs its outlier mask 16 bits/word
+        assert config.cap_obs % 16 == 0, "cap_obs must be a multiple of 16"
         # stacked intrinsics at the estimator dtype: f64 camera leaves
         # would silently promote an f32 solve's whole dataflow under x64
         _cdt = jax.dtypes.canonicalize_dtype(config.dtype)
@@ -790,13 +792,36 @@ class SlidingWindowEstimator:
         sb_fixed[:nf] = [f.pose_graph_frame or f.sb_fixed for f in self.frames]
 
         # observations: keep only those whose frame & landmark are active
-        live = np.array(
-            [
-                (f in fid2slot) and (l in self.lm_index)
-                for f, l in zip(self.obs_fid, self.obs_lid)
-            ],
-            dtype=bool,
-        ) if len(self.obs_fid) else np.zeros((0,), bool)
+        # (vectorised: searchsorted over the sorted fid / lid tables — the
+        # python-loop version cost milliseconds per frame at 5k obs)
+        fid_arr = np.fromiter(fid2slot.keys(), np.int64, nf)
+        slot_arr = np.fromiter(fid2slot.values(), np.int64, nf)
+        f_order = np.argsort(fid_arr)
+        fid_sorted = fid_arr[f_order]
+        slot_sorted = slot_arr[f_order]
+        lm_arr = np.asarray(self.lm_ids, np.int64)
+        l_order = np.argsort(lm_arr)
+        lm_sorted = lm_arr[l_order]
+        row_sorted = np.arange(nl, dtype=np.int64)[l_order]
+
+        def _lookup(sorted_keys, sorted_vals, queries):
+            pos = np.searchsorted(sorted_keys, queries)
+            pos = np.clip(pos, 0, max(len(sorted_keys) - 1, 0))
+            if len(sorted_keys):
+                ok = sorted_keys[pos] == queries
+                return sorted_vals[pos], ok
+            return np.zeros(len(queries), np.int64), np.zeros(
+                len(queries), bool
+            )
+
+        if len(self.obs_fid):
+            obs_slot_all, f_ok = _lookup(
+                fid_sorted, slot_sorted, self.obs_fid
+            )
+            obs_row_all, l_ok = _lookup(lm_sorted, row_sorted, self.obs_lid)
+            live = f_ok & l_ok
+        else:
+            live = np.zeros((0,), bool)
         obs_src = np.nonzero(live)[0]  # problem row -> host obs index
         obs_src_uids = None
         if len(obs_src) > Ncap:
@@ -820,9 +845,9 @@ class SlidingWindowEstimator:
         obs_depth = np.ones(Ncap)
         obs_depth_si = np.ones(Ncap)
         obs_depth_valid = np.zeros(Ncap, bool)
-        obs_frame[:n_obs] = [fid2slot[f] for f in of]
+        obs_frame[:n_obs] = obs_slot_all[live]
         obs_cam[:n_obs] = self.obs_cam[live]
-        obs_lm[:n_obs] = [self.lm_index[l] for l in self.obs_lid[live]]
+        obs_lm[:n_obs] = obs_row_all[live]
         obs_uv[:n_obs] = self.obs_uv[live]
         obs_si[:n_obs] = 1.0 / self.obs_sigma[live]
         obs_valid[:n_obs] = True
@@ -1128,11 +1153,18 @@ class SlidingWindowEstimator:
                 # dtype (f32 on TPU; f64 on CPU hosts where truncating the
                 # state handoff each frame would bleed precision)
                 pdt = p3.T_WS.dtype
+                # outlier mask packed 16 bits/word (exact in f32): the
+                # fetch RTT scales with payload, and the raw mask was
+                # 60% of it
+                ob = out.reshape(-1, 16).astype(jnp.float32)
+                w16 = (
+                    ob * (2.0 ** jnp.arange(16, dtype=jnp.float32))
+                ).sum(axis=1)
                 packed = jnp.concatenate([
                     p3.T_WS.reshape(-1),
                     p3.sb.reshape(-1).astype(pdt),
                     p3.hp_W.reshape(-1).astype(pdt),
-                    out.astype(pdt),
+                    w16.astype(pdt),
                     p3.T_SC.reshape(-1).astype(pdt),
                     p3.T_GW.reshape(-1).astype(pdt),
                     cost.reshape(1).astype(pdt),
@@ -1237,8 +1269,11 @@ class SlidingWindowEstimator:
             T = packed[o:o + K * 7].reshape(K, 7); o += K * 7
             sb = packed[o:o + K * 9].reshape(K, 9); o += K * 9
             hp = packed[o:o + L * 4].reshape(L, 4); o += L * 4
-            out_mask = packed[o:o + self.cfg.cap_obs] > 0.5
-            o += self.cfg.cap_obs
+            nw = self.cfg.cap_obs // 16
+            words = packed[o:o + nw].astype(np.int64); o += nw
+            out_mask = (
+                (words[:, None] >> np.arange(16)) & 1
+            ).reshape(-1).astype(bool)
             T_SC = packed[o:o + self.C * 7].reshape(self.C, 7); o += self.C * 7
             T_GW = packed[o:o + 7]
             cost = float(packed[-1])

@@ -40,6 +40,16 @@ class CameraConfig:
     slam_use: str = "okvis"  # okvis | okvis-depth | okvis-virtual | none
     camera_type: str = "gray"  # gray | rgb | gray+depth | rgb+depth
 
+    @property
+    def is_colour(self) -> bool:
+        """≙ CameraType::isColour (ViParametersReader.cpp:555-561,
+        NCameraSystem.hpp:202): colour submap integration source."""
+        return self.camera_type.startswith("rgb")
+
+    @property
+    def has_depth(self) -> bool:
+        return "depth" in self.camera_type
+
 
 @dataclasses.dataclass
 class OnlineCalibrationParams:

@@ -71,18 +71,31 @@ def submap_mesh(sm, cfg, iso: float = 0.0) -> np.ndarray:
     return (tris + 0.5) * cfg.res - half
 
 
-def write_ply_mesh(path: str, tris: np.ndarray):
-    """ASCII PLY triangle mesh (vertices deduplicated per-triangle only)."""
+def write_ply_mesh(path: str, tris: np.ndarray, colours=None):
+    """ASCII PLY triangle mesh (vertices deduplicated per-triangle only);
+    `colours` (T*3, 3) in [0, 1] adds per-vertex RGB (coloured submap
+    meshes ≙ the reference's OccupancyColIdMap exports)."""
     nv = tris.shape[0] * 3
     with open(path, "w") as f:
         f.write(
             "ply\nformat ascii 1.0\n"
             f"element vertex {nv}\n"
             "property float x\nproperty float y\nproperty float z\n"
+        )
+        if colours is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write(
             f"element face {tris.shape[0]}\n"
             "property list uchar int vertex_indices\nend_header\n"
         )
-        for t in tris.reshape(-1, 3):
-            f.write(f"{t[0]:.4f} {t[1]:.4f} {t[2]:.4f}\n")
+        if colours is not None:
+            cb = np.clip(np.asarray(colours) * 255, 0, 255).astype(np.uint8)
+            for t, c in zip(tris.reshape(-1, 3), cb):
+                f.write(f"{t[0]:.4f} {t[1]:.4f} {t[2]:.4f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
+        else:
+            for t in tris.reshape(-1, 3):
+                f.write(f"{t[0]:.4f} {t[1]:.4f} {t[2]:.4f}\n")
         for i in range(tris.shape[0]):
             f.write(f"3 {3*i} {3*i+1} {3*i+2}\n")

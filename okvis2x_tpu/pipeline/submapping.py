@@ -93,6 +93,9 @@ class SubmapEntry:
     n_frames: int = 0
     kf_ids: set = dataclasses.field(default_factory=set)
     finished: bool = False
+    # per-voxel colour accumulation (≙ se::OccupancyColIdMap, built when
+    # a colour image accompanies the depth integration)
+    col: object = None
 
 
 class SubmappingInterface:
@@ -242,8 +245,15 @@ class SubmappingInterface:
         cam,
         depth: np.ndarray,
         sigma: Optional[np.ndarray] = None,
+        colour: Optional[np.ndarray] = None,
     ):
-        """Integrate a metric depth image taken at camera pose T_WC."""
+        """Integrate a metric depth image taken at camera pose T_WC.
+
+        `colour` (H, W) grey or (H, W, 3) rgb in [0, 1] additionally
+        splats per-ray colour into the endpoint voxels (≙ the colour warp
+        into se::OccupancyColIdMap integration,
+        okvis_multisensor_processing/src/SubmappingInterface.cpp:848-888;
+        enable per camera via okvis2.yaml camera_type rgb/rgb+depth)."""
         if sigma is None:
             sigma = 0.01 * depth * depth  # quadratic depth noise model
         # decide on sparse sample of the backprojected cloud
@@ -288,6 +298,47 @@ class SubmappingInterface:
         )
         a.n_frames += 1
         a.kf_ids.add(kf_fid)
+
+        if colour is not None:
+            from okvis2x_tpu.mapping import colour as col_mod
+
+            if a.col is None:
+                a.col = col_mod.new_store(self.cfg.submap)
+            if colour.ndim == 2:
+                colour = np.repeat(colour[..., None], 3, axis=2)
+            ckey = ("colour", depth.shape)
+            if ckey not in self._jit:
+                scfg = self.cfg.submap
+                stride = self.cfg.depth_stride
+                maxd = self.cfg.max_depth
+
+                @jax.jit
+                def fc(store, sm, T_KC_, depth_, col_):
+                    from okvis2x_tpu.cameras import pinhole
+
+                    H, W = depth_.shape
+                    uv = jnp.stack(
+                        jnp.meshgrid(
+                            jnp.arange(0, W, stride, dtype=depth_.dtype),
+                            jnp.arange(0, H, stride, dtype=depth_.dtype),
+                            indexing="xy",
+                        ),
+                        axis=-1,
+                    ).reshape(-1, 2)
+                    d = depth_[::stride, ::stride].reshape(-1)
+                    c = col_[::stride, ::stride].reshape(-1, 3)
+                    ray, bp_ok = pinhole.back_project(cam, uv)
+                    p_C = ray / ray[..., 2:3] * d[:, None]
+                    p_K = se3.se3_apply(T_KC_, p_C)
+                    ok = bp_ok & (d > 0.05) & (d < maxd) & jnp.isfinite(d)
+                    return col_mod.splat(store, sm, scfg, p_K, c, ok)
+
+                self._jit[ckey] = fc
+            a.col = self._jit[ckey](
+                a.col, a.sm, jnp.asarray(T_KC, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(colour, jnp.float32),
+            )
 
     # ------------------------------------------------------------ alignment
     def make_alignment_edge(
@@ -351,8 +402,11 @@ class SubmappingInterface:
 
     # -------------------------------------------------------------- export
     def export_occupied_ply(self, path: str, threshold: float = 1.0):
-        """Write all submaps' occupied voxel centres (world frame) as PLY."""
-        all_pts = []
+        """Write all submaps' occupied voxel centres (world frame) as PLY;
+        per-vertex RGB when colour was integrated (≙ OccupancyColIdMap
+        exports)."""
+        all_pts, all_cols = [], []
+        any_colour = any(e.col is not None for e in self.maps)
         for e in self.maps:
             centers, occ = sm_mod.occupied_point_list(
                 e.sm, self.cfg.submap, threshold, max_points=65536
@@ -366,17 +420,65 @@ class SubmappingInterface:
                     )
                 )
                 all_pts.append(pts_W)
+                if any_colour:
+                    if e.col is not None:
+                        from okvis2x_tpu.mapping import colour as col_mod
+
+                        c = np.asarray(col_mod.colour_at(
+                            e.col, e.sm, self.cfg.submap,
+                            jnp.asarray(pts_K, jnp.float32),
+                        ))
+                    else:
+                        c = np.full((len(pts_K), 3), 0.5)
+                    all_cols.append(c)
         pts = np.concatenate(all_pts) if all_pts else np.zeros((0, 3))
+        cols = (
+            np.clip(np.concatenate(all_cols) * 255, 0, 255).astype(np.uint8)
+            if any_colour and all_cols else None
+        )
         with open(path, "w") as f:
-            f.write(
-                "ply\nformat ascii 1.0\n"
-                f"element vertex {len(pts)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                "end_header\n"
-            )
-            for p in pts:
-                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+            f.write("ply\nformat ascii 1.0\n" f"element vertex {len(pts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n")
+            if cols is not None:
+                f.write("property uchar red\nproperty uchar green\n"
+                        "property uchar blue\n")
+            f.write("end_header\n")
+            for i, p in enumerate(pts):
+                if cols is not None:
+                    f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                            f"{cols[i,0]} {cols[i,1]} {cols[i,2]}\n")
+                else:
+                    f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
         return len(pts)
+
+    def export_mesh_ply(self, path: str, entry: SubmapEntry,
+                        iso: float = 0.0) -> int:
+        """Marching-tetrahedra mesh of one submap (world frame), with
+        per-vertex RGB when colour was integrated (≙ per-submap
+        map->mesh() export, SubmappingInterface.cpp:935 + colour ids)."""
+        from okvis2x_tpu.mapping import mesh as mesh_mod
+
+        tris_K = mesh_mod.submap_mesh(entry.sm, self.cfg.submap, iso)
+        if len(tris_K) == 0:
+            mesh_mod.write_ply_mesh(path, tris_K)
+            return 0
+        verts_K = tris_K.reshape(-1, 3)
+        cols = None
+        if entry.col is not None:
+            from okvis2x_tpu.mapping import colour as col_mod
+
+            cols = np.asarray(col_mod.colour_at(
+                entry.col, entry.sm, self.cfg.submap,
+                jnp.asarray(verts_K, jnp.float32),
+            ))
+        verts_W = np.asarray(se3.se3_apply(
+            jnp.asarray(entry.sm.T_WK, jnp.float32),
+            jnp.asarray(verts_K, jnp.float32),
+        ))
+        mesh_mod.write_ply_mesh(
+            path, verts_W.reshape(-1, 3, 3), colours=cols
+        )
+        return len(tris_K)
 
     def export_vtk_bboxes(self, path: str):
         """Write submap bounding boxes as a legacy-VTK unstructured grid

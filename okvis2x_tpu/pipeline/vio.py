@@ -140,6 +140,12 @@ class PipelineConfig:
     pipeline_ramp_frames: int = 25
 
 
+# stereo / motion-stereo initialisations surviving per frame, compacted
+# in-program so the association payload stays small (the remote runtime's
+# fetch RTT scales with size); ~50-150 typically survive the gates
+ASSOC_CAP = 256
+
+
 class FrameData:
     """Per-frame detection results (host mirrors of device arrays)."""
 
@@ -148,14 +154,15 @@ class FrameData:
         self.score = score  # unused on host (None in the fast path)
         self.level = level
         self.valid = valid
-        # (N, 12) uint32 packed descriptors, HOST-resident: consumers ship
-        # them into their own programs and unpack there (holding a
-        # device-resident unpacked array created device-to-device
-        # dependency chains between programs, which the remote runtime
-        # serialises at ~178 ms/exec)
+        # (N, 12) uint32 packed descriptors, HOST-resident; None while the
+        # deferred descriptor block is still in flight (the critical-path
+        # fetch carries only uv/valid — descriptors are 80% of the
+        # detection payload and nothing on the critical path needs them)
         self.packed = packed
         self.pm1 = pm1  # legacy slot, unused
         self.lid = np.full(uv.shape[0], -1, np.int64)  # landmark assignment
+        # (lid, keypoint) descriptor assignments queued while packed=None
+        self.desc_todo: list = []
 
 
 class VioPipeline:
@@ -191,8 +198,13 @@ class VioPipeline:
 
         self._inflight = collections.deque()
         self._next_solve = None  # dict(solve=h, solve_meta=...)
+        self._solve_todo = None  # consume queues; frame loop dispatches
         self._last_counts = (0, 0, 0)
         self._last_quality = None
+        # deferred descriptor blocks still in flight: fid -> (item, fds)
+        self._desc_pending: Dict[int, tuple] = {}
+        # keyframes whose LC record waits on their descriptor block
+        self._kf_lc_todo: Dict[int, float] = {}
         if cfg.deferred_frontend:
             self.est.defer_edge_jobs = True
 
@@ -587,16 +599,34 @@ class VioPipeline:
                         T_WCk, h.astype(T_WCk.dtype)
                     )
                 )(hp_Ck)
-                # pack into ONE f32 output array: every separate
-                # device->host fetch costs ~16 ms on the remote runtime,
-                # so nine outputs paid ~145 ms/frame (indices are exact in
-                # f32 — landmark/keypoint caps sit far below 2^24)
-                f32c = lambda x: x.astype(f32).reshape(-1)
-                return jnp.concatenate(
-                    [f32c(jnp.stack(map_rows)), f32c(st_idx), f32c(mo_idx),
-                     f32c(jnp.stack(map_ok)), f32c(st_ok), f32c(st_hp),
-                     f32c(mo_ok), f32c(mo_hp)]
+                # COMPACT f32 output (the fetch RTT scales with payload):
+                # map matches as one row-per-keypoint table (-1 invalid),
+                # stereo/motion initialisations compacted to the first
+                # ASSOC_CAP accepted rows (indices exact in f32)
+                S = ASSOC_CAP
+                mr = jnp.where(
+                    jnp.stack(map_ok),
+                    jnp.stack(map_rows).astype(f32), f32(-1.0),
                 )
+
+                def compact(ok, idx, hps):
+                    key = jnp.where(
+                        ok, jnp.arange(N, dtype=jnp.int32),
+                        jnp.int32(N + 7),
+                    )
+                    order = jnp.argsort(key)[:S]
+                    val = ok[order]
+                    a = jnp.where(val, order, -1).astype(f32)
+                    b = jnp.where(val, idx[order], -1).astype(f32)
+                    return jnp.concatenate(
+                        [a, b, hps[order].astype(f32).reshape(-1)]
+                    )
+
+                return jnp.concatenate([
+                    mr.reshape(-1),
+                    compact(st_ok, st_idx, st_hp),
+                    compact(mo_ok, mo_idx, mo_hp),
+                ])
 
         return core
 
@@ -665,13 +695,16 @@ class VioPipeline:
                 kp_uv, kp_valid, kp_packed, pm1 = jax.vmap(det_one)(
                     imgs_f, angles
                 )
-                det_u32 = jnp.concatenate(
+                # critical-path block: [uv | valid | assoc] as ONE u32
+                # vector — one fetch RPC (descriptors ride a separate,
+                # deferred fetch: they are 80% of the payload and only
+                # feed NEXT-frame tables / LC records)
+                det_crit = jnp.concatenate(
                     [
                         jax.lax.bitcast_convert_type(
                             kp_uv.astype(jnp.float32), jnp.uint32
                         ),
                         kp_valid[:, :, None].astype(jnp.uint32),
-                        kp_packed,
                     ],
                     axis=2,
                 )
@@ -680,7 +713,13 @@ class VioPipeline:
                     T_CkC, T_WCk, kf_uv, kf_un, kf_packs, kf_valid,
                     motion_on,
                 )
-                return det_u32, assoc
+                crit = jnp.concatenate([
+                    det_crit.reshape(-1),
+                    jax.lax.bitcast_convert_type(
+                        assoc.astype(jnp.float32), jnp.uint32
+                    ),
+                ])
+                return crit, kp_packed
 
             self._jit[key] = run
         return self._jit[key]
@@ -716,6 +755,11 @@ class VioPipeline:
                 fk = est.get_state(self.last_kf_fid)
                 kfd = self.frames[self.last_kf_fid][0]
                 kf_fid = self.last_kf_fid
+                if kfd.packed is None:
+                    # the keyframe's deferred descriptor block hasn't
+                    # landed yet: skip motion stereo for this dispatch
+                    kfd = None
+                    kf_fid = None
             except KeyError:
                 kfd = None
         if kfd is not None:
@@ -752,18 +796,23 @@ class VioPipeline:
         nl, lids, kf_fid = st["nl"], st["lids"], st["kf_fid"]
         N = self.cfg.max_keypoints
         C = self.num_cams
+        S = ASSOC_CAP
         o = 0
-        map_rows = flts[o:o + C * N].reshape(C, N).astype(np.int64); o += C * N
-        st_idx = flts[o:o + N].astype(np.int64); o += N
-        mo_idx = flts[o:o + N].astype(np.int64); o += N
-        map_ok = flts[o:o + C * N].reshape(C, N) > 0.5; o += C * N
-        st_ok = flts[o:o + N] > 0.5; o += N
-        st_hp = flts[o:o + 4 * N].reshape(N, 4); o += 4 * N
-        mo_ok = flts[o:o + N] > 0.5; o += N
-        mo_hp = flts[o:o + 4 * N].reshape(N, 4)
+        map_rows = flts[o:o + C * N].reshape(C, N).astype(np.int64)
+        o += C * N
+        map_ok = map_rows >= 0
+        st_i1 = flts[o:o + S].astype(np.int64); o += S
+        st_i0 = flts[o:o + S].astype(np.int64); o += S
+        st_hp = flts[o:o + 4 * S].reshape(S, 4); o += 4 * S
+        mo_ic = flts[o:o + S].astype(np.int64); o += S
+        mo_ik = flts[o:o + S].astype(np.int64); o += S
+        mo_hp = flts[o:o + 4 * S].reshape(S, 4)
 
         # ---- consume map matches (deduped in-program)
         n_map = 0
+        live_lids = np.fromiter(
+            est.lm_index.keys(), np.int64, len(est.lm_index)
+        )
         for c, fd in enumerate(frame_data):
             ks = np.nonzero(map_ok[c])[0]
             ks = ks[(map_rows[c][ks] < nl) & (fd.lid[ks] < 0)]
@@ -772,7 +821,7 @@ class VioPipeline:
             cand = lids[map_rows[c][ks]]
             # deferred guard: a matched landmark may have been pruned
             # between dispatch and consumption
-            alive = np.array([l in est.lm_index for l in cand], bool)
+            alive = np.isin(cand, live_lids)
             ks, cand = ks[alive], cand[alive]
             if len(ks) == 0:
                 continue
@@ -788,8 +837,7 @@ class VioPipeline:
         # range — position-only radii merge distinct points in dense
         # scenes (measured: ATE 0.22 vs 0.11 on the smoke circuit)
         dedup = None
-        if self.cfg.deferred_frontend and self.cfg.pipeline_depth > 1 \
-                and est.lm_ids:
+        if self.cfg.deferred_frontend and est.lm_ids:
             try:
                 f_cur = est.get_state(fid)
                 uv_pred, vis_pred = self._project_landmarks(
@@ -806,40 +854,57 @@ class VioPipeline:
         for fd in frame_data:
             claimed.update(fd.lid[fd.lid >= 0].tolist())
 
-        def dedup_or_add(hp_new, kp_uv0):
+        def dedup_nn(kp_uvs, hps):
+            """Vectorised nearest-reprojection lookup for a batch of new
+            landmark candidates: returns (lid or -1) per row."""
+            out = np.full(len(kp_uvs), -1, np.int64)
+            if dedup is None or len(kp_uvs) == 0:
+                return out
+            lids_t, p_t, uv_t, vis_t = dedup
+            dpx = np.linalg.norm(
+                uv_t[None, :, :] - kp_uvs[:, None, :], axis=2
+            )
+            dpx[:, ~vis_t] = np.inf
+            j = np.argmin(dpx, axis=1)
+            best = dpx[np.arange(len(j)), j]
+            w = np.where(np.abs(hps[:, 3]) > 1e-9, hps[:, 3], 1.0)
+            p_new = hps[:, :3] / w[:, None]
+            d3 = np.linalg.norm(p_t[j] - p_new, axis=1)
+            ok = (best < 3.0) & (
+                d3 < 0.1 * np.maximum(np.linalg.norm(p_new, axis=1), 1.0)
+            )
+            out[ok] = lids_t[j[ok]]
+            return out
+
+        def dedup_or_add(nn_lid, hp_new):
             """Existing landmark reprojecting onto this keypoint, else a
             fresh one."""
-            if dedup is not None:
-                lids_t, p_t, uv_t, vis_t = dedup
-                p_new = hp_new[:3] / (hp_new[3] if abs(hp_new[3]) > 1e-9
-                                      else 1.0)
-                dpx = np.linalg.norm(uv_t - kp_uv0, axis=1)
-                dpx = np.where(vis_t, dpx, np.inf)
-                j = int(np.argmin(dpx)) if len(dpx) else -1
-                if (j >= 0 and dpx[j] < 3.0
-                        and np.linalg.norm(p_t[j] - p_new)
-                        < 0.1 * max(np.linalg.norm(p_new), 1.0)
-                        and int(lids_t[j]) not in claimed
-                        and int(lids_t[j]) in est.lm_index):
-                    return int(lids_t[j])
+            if (nn_lid >= 0 and nn_lid not in claimed
+                    and nn_lid in est.lm_index):
+                return int(nn_lid)
             return est.add_landmark(hp_new)
 
-        # ---- consume stereo initialisations
+        # ---- consume stereo initialisations (compacted rows)
         n_stereo = 0
         if self.num_cams >= 2:
             fd0, fd1 = frame_data[0], frame_data[1]
             used0 = set()
             new_lid, new_i0, new_i1 = [], [], []
-            for i1 in np.nonzero(st_ok)[0]:
-                i0 = int(st_idx[i1])
+            st_rows = np.nonzero(st_i1 >= 0)[0]
+            st_nn = np.full(S, -1, np.int64)
+            st_nn[st_rows] = dedup_nn(
+                fd0.uv[st_i0[st_rows]], st_hp[st_rows]
+            )
+            for r in st_rows:
+                i1, i0 = int(st_i1[r]), int(st_i0[r])
                 if i0 in used0 or fd0.lid[i0] >= 0 or fd1.lid[i1] >= 0:
                     continue
                 used0.add(i0)
-                lid = dedup_or_add(st_hp[i1], fd0.uv[i0])
+                lid = dedup_or_add(st_nn[r], st_hp[r])
                 if lid < 0:
                     continue
                 claimed.add(lid)
-                self.lm_desc[lid] = fd0.packed[i0]
+                self._set_landmark_desc(lid, fd0, i0)
                 fd0.lid[i0] = lid
                 fd1.lid[i1] = lid
                 new_lid.append(lid)
@@ -854,7 +919,7 @@ class VioPipeline:
                     fid, 1, new_lid, fd1.uv[np.asarray(new_i1)]
                 )
 
-        # ---- consume motion-stereo initialisations (cam0)
+        # ---- consume motion-stereo initialisations (cam0, compacted)
         n_motion = 0
         kfd = self.frames[kf_fid][0] if kf_fid in self.frames else None
         kf_live = kfd is not None and any(
@@ -864,16 +929,21 @@ class VioPipeline:
             fd = frame_data[0]
             used_k = set()
             new_lid, new_ic, new_ik = [], [], []
-            for i_c in np.nonzero(mo_ok)[0]:
-                i_k = int(mo_idx[i_c])
+            mo_rows = np.nonzero(mo_ic >= 0)[0]
+            mo_nn = np.full(S, -1, np.int64)
+            mo_nn[mo_rows] = dedup_nn(
+                fd.uv[mo_ic[mo_rows]], mo_hp[mo_rows]
+            )
+            for r in mo_rows:
+                i_c, i_k = int(mo_ic[r]), int(mo_ik[r])
                 if i_k in used_k or fd.lid[i_c] >= 0 or kfd.lid[i_k] >= 0:
                     continue
                 used_k.add(i_k)
-                lid = dedup_or_add(mo_hp[i_c], fd.uv[i_c])
+                lid = dedup_or_add(mo_nn[r], mo_hp[r])
                 if lid < 0:
                     continue
                 claimed.add(lid)
-                self.lm_desc[lid] = kfd.packed[i_k]
+                self._set_landmark_desc(lid, kfd, i_k)
                 fd.lid[i_c] = lid
                 kfd.lid[i_k] = lid
                 new_lid.append(lid)
@@ -888,6 +958,16 @@ class VioPipeline:
                     fid, 0, new_lid, fd.uv[np.asarray(new_ic)]
                 )
         return n_map, n_stereo, n_motion
+
+    def _set_landmark_desc(self, lid: int, fd: FrameData, k: int):
+        """Seed/refresh a landmark descriptor from keypoint k of `fd`;
+        when the frame's descriptor block hasn't been fetched yet
+        (deferred descriptor path) the assignment is queued on the
+        FrameData and applied when the block lands."""
+        if fd.packed is not None:
+            self.lm_desc[lid] = fd.packed[k]
+        else:
+            fd.desc_todo.append((lid, k))
 
     def associate(self, fid: int, frame_data: List[FrameData]):
         """Stages 3+6 in one device round trip; returns
@@ -917,8 +997,8 @@ class VioPipeline:
         per-ITEM threads let consecutive cycles' fetches overlap."""
         import threading
 
-        arrs = [item["front"]["det"], item["front"]["assoc"]]
-        names = ["det", "assoc"]
+        arrs = [item["front"]["crit"]]
+        names = ["crit"]
         if item["solve"] is not None:
             arrs.append(item["solve"]["packed"])
             names.append("solve")
@@ -964,12 +1044,75 @@ class VioPipeline:
             ev.set()
 
         threading.Thread(target=run, daemon=True).start()
+
+        # event B: the descriptor block (~66 KB) does NOT gate the frame
+        # path (_drain_desc consumes it later).  Its fetch waits for the
+        # critical group to finish first — concurrent RPCs contend on the
+        # tunnel (measured: a 4th in-flight fetch drags all to ~60 ms)
+        evB = threading.Event()
+        item["_desc_ev"] = evB
+        desc_d = item["front"]["desc"]
+
+        from okvis2x_tpu.utils import timing as timing_mod
+
+        def run_desc():
+            ev.wait()
+            t0 = _time.perf_counter()
+            try:
+                item["_desc"] = np.asarray(desc_d)
+            except Exception as e:  # noqa: BLE001 — surfaced on drain
+                item["_desc"] = e
+            timing_mod.add_sample(
+                "2.B Fetch[desc]", _time.perf_counter() - t0
+            )
+            evB.set()
+
+        threading.Thread(target=run_desc, daemon=True).start()
         self._inflight.append(item)
 
     def _pop_item(self):
         item = self._inflight.popleft()
         item["_ev"].wait()
         return item, item["_result"]
+
+    def _drain_desc(self, wait: bool = False):
+        """Fold arrived deferred descriptor blocks into their frames:
+        fill FrameData.packed, apply queued new-landmark descriptor
+        assignments, refresh matched-landmark descriptors, and run the
+        keyframe record + place-recognition enqueue that waited on them."""
+        done = []
+        for fid, ent in self._desc_pending.items():
+            item, frame_data = ent
+            if wait:
+                item["_desc_ev"].wait(timeout=60.0)
+            if not item["_desc_ev"].is_set():
+                continue
+            desc_np = item["_desc"]
+            if isinstance(desc_np, Exception):
+                raise desc_np
+            for c, fd in enumerate(frame_data):
+                fd.packed = np.asarray(desc_np[c])
+                for lid, k in fd.desc_todo:
+                    if lid in self.est.lm_index:
+                        self.lm_desc[lid] = fd.packed[k]
+                fd.desc_todo = []
+                for k in np.nonzero(fd.lid >= 0)[0]:
+                    if fd.lid[k] in self.est.lm_index:
+                        self.lm_desc[fd.lid[k]] = fd.packed[k]
+            kf_t = self._kf_lc_todo.pop(fid, None)
+            if kf_t is not None and self.cfg.do_loop_closures:
+                use_async_pr = (
+                    self._lc_thread is not None and self.vocab is not None
+                    and self._vocab_pretrained and not self.components
+                )
+                self._record_keyframe(fid, kf_t, frame_data)
+                if use_async_pr:
+                    self._lc_enqueue(fid, kf_t)
+                elif self._attempt_loop_closure(fid, kf_t, frame_data):
+                    self.est.optimise()
+            done.append(fid)
+        for fid in done:
+            del self._desc_pending[fid]
 
     def _stage_images(self, images: List[np.ndarray]):
         """Pad + uint8-pack the camera images and START their device
@@ -992,7 +1135,7 @@ class VioPipeline:
         angles = self._gravity_angles(n_cams, T_WS_pred)
         st = self._assoc_stage(fid, T_WS_pred)
         run = self._frontend_fused_fn(shape)
-        det_d, assoc_d = run(
+        crit_d, desc_d = run(
             imgs_d, jnp.asarray(angles, jnp.float32),
             T_WS_pred, st["hp"], st["lm_valid"], st["packs"],
             jnp.asarray(st["T_CkC"]), jnp.asarray(st["T_WCk"]),
@@ -1001,22 +1144,25 @@ class VioPipeline:
             jnp.asarray(st["motion_on"]),
         )
         return dict(
-            fid=fid, t=t, det=det_d, assoc=assoc_d, stage=st,
+            fid=fid, t=t, crit=crit_d, desc=desc_d, stage=st,
             depth_images=depth_images, log_idx=len(self.states_log),
         )
 
-    def frontend_consume(self, h: dict, det_np: np.ndarray,
-                         assoc_np: np.ndarray):
-        """Consume a fetched fused-frontend result: build FrameData from
-        the detection block, then run the shared association consumption.
+    def frontend_consume(self, h: dict, crit_np: np.ndarray):
+        """Consume a fetched fused-frontend result: split the critical
+        u32 vector into the detection block (uv+valid) and the bitcast
+        association block (descriptors arrive later via _drain_desc),
+        then run the shared association consumption.
         Returns (frame_data, (n_map, n_stereo, n_motion))."""
         fid = h["fid"]
-        uv = det_np[:, :, :2].view(np.float32).astype(np.float64)
+        C, N = self.num_cams, self.cfg.max_keypoints
+        det_np = crit_np[:C * N * 3].reshape(C, N, 3)
+        assoc_np = crit_np[C * N * 3:].view(np.float32)
+        uv = det_np[:, :, :2].copy().view(np.float32).astype(np.float64)
         valid = det_np[:, :, 2] > 0
-        packed_np = det_np[:, :, 3:15]
         frame_data = [
             FrameData(uv=uv[c], score=None, level=None,
-                      valid=valid[c], packed=packed_np[c])
+                      valid=valid[c], packed=None)
             for c in range(self.num_cams)
         ]
         self.frames[fid] = frame_data
@@ -1051,8 +1197,8 @@ class VioPipeline:
         est = self.est
         front = item["front"]
         fetched = list(fetched)
-        det_np, assoc_np = fetched[0], fetched[1]
-        k = 2
+        crit_np = fetched[0]
+        k = 1
         if item["solve"] is not None:
             item["solve"]["packed_np"] = np.asarray(fetched[k]); k += 1
         # deferred marginalisation edges land BEFORE the next problem build
@@ -1070,8 +1216,9 @@ class VioPipeline:
         fid, t = front["fid"], front["t"]
         with timing.Timer("2.3 AssocConsume"):
             frame_data, counts = self.frontend_consume(
-                front, np.asarray(det_np), np.asarray(assoc_np)
+                front, np.asarray(crit_np)
             )
+        self._desc_pending[fid] = (item, frame_data)
         self._last_counts = counts
         self._last_quality = self._tracking_quality(frame_data)
         is_kf = self.need_keyframe(frame_data)
@@ -1089,6 +1236,10 @@ class VioPipeline:
             ]
             if solved:
                 est.repredict_after(max(solved))
+        # dispatch the solve NOW, before the next frontend: the device
+        # executes in dispatch order, and the event-A fetch group waits
+        # for the LAST exec — solve-first keeps its short exec off the
+        # critical tail (measured: frontend-first cost +20 ms p50)
         gate_px = self.cfg.chi2_px * est.cfg.keypoint_sigma_px * 3
         with timing.Timer("2.6 DispatchSolve"):
             h_solve = est.optimise_gated_dispatch(fid, gate_px)
@@ -1138,6 +1289,7 @@ class VioPipeline:
             # the consume corrected earlier frames; re-predict this frame
             # from them before the frontend projects landmarks
             f = est.get_state(fid)
+        self._drain_desc()
 
         # dispatch this frame's fused frontend; package it with the solve
         # dispatched by the latest consume + any deferred edge programs
@@ -1184,6 +1336,7 @@ class VioPipeline:
             if self._next_solve is not None:
                 pending_solves.append(self._next_solve)
                 self._next_solve = None
+        self._drain_desc(wait=True)
         for nxt in pending_solves:
             self.est.optimise_gated_collect(nxt["solve"])
             self.synchronise_full_graph()
@@ -1921,7 +2074,7 @@ class VioPipeline:
                     fid, c, lid, fd.uv[un[k]], depth=d[k], depth_sigma=sig
                 )
                 fd.lid[un[k]] = lid
-                self.lm_desc[lid] = fd.packed[un[k]]
+                self._set_landmark_desc(lid, fd, int(un[k]))
                 n_new += 1
         return n_new
 
@@ -1950,7 +2103,7 @@ class VioPipeline:
                 continue
             fd = frame_data[c]
             sel = fd.lid >= 0
-            if not np.any(sel):
+            if not np.any(sel) or fd.packed is None:
                 continue
             w.add_frame(
                 t, fd.lid[sel], fd.uv[sel],
@@ -1995,7 +2148,11 @@ class VioPipeline:
         frame_data = self.frames.get(fid)
         if frame_data is not None:
             # refresh landmark descriptors with the freshest observation
+            # (skipped while the deferred descriptor block is in flight —
+            # _drain_desc performs the refresh when it lands)
             for fd in frame_data:
+                if fd.packed is None:
+                    continue
                 for k in np.nonzero(fd.lid >= 0)[0]:
                     self.lm_desc[fd.lid[k]] = fd.packed[k]
 
@@ -2029,12 +2186,18 @@ class VioPipeline:
                 looped = self._lc_poll()
         if is_kf and self.cfg.do_loop_closures and frame_data is not None:
             with timing.Timer("2.8 LoopClosure"):
-                self._record_keyframe(fid, t, frame_data)
-                if use_async_pr:
-                    self._lc_enqueue(fid, t)
+                if frame_data[0].packed is None:
+                    # descriptor block still in flight: record + enqueue
+                    # when _drain_desc folds it in
+                    self._kf_lc_todo[fid] = t
                 else:
-                    looped = self._attempt_loop_closure(fid, t, frame_data) \
-                        or looped
+                    self._record_keyframe(fid, t, frame_data)
+                    if use_async_pr:
+                        self._lc_enqueue(fid, t)
+                    else:
+                        looped = self._attempt_loop_closure(
+                            fid, t, frame_data
+                        ) or looped
         if looped:
             est.optimise()
 

@@ -167,3 +167,40 @@ def test_async_submapping_reanchors_on_correction(tmp_path):
     runner2_states = {corrected.id: corrected.T_WS}
     si.on_state_update(runner2_states)
     np.testing.assert_allclose(np.asarray(si.active.sm.T_WK)[:3], [1, 0, 0])
+
+
+def test_colour_submap_integration(tmp_path):
+    """Colour warps into the endpoint voxels (≙ se::OccupancyColIdMap +
+    SubmappingInterface.cpp:848-888): a wall whose left half is red and
+    right half green must come back with matching voxel colours."""
+    cam = make_cam()
+    si = SubmappingInterface(CFG)
+    I = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    H, W = cam.height, cam.width
+    colour = np.zeros((H, W, 3), np.float32)
+    colour[:, : W // 2, 0] = 1.0  # left red
+    colour[:, W // 2 :, 1] = 1.0  # right green
+    for _ in range(3):
+        si.integrate_depth(0, I, I, cam, wall_depth(cam), colour=colour)
+    e = si.active
+    assert e.col is not None
+
+    from okvis2x_tpu.mapping import colour as col_mod
+
+    # query two wall points: left of centre (x<0 in camera = red side)
+    # and right of centre.  cx=64 => pixel x<64 maps to X<0 at z=3.
+    pts = jnp.asarray([[-1.0, 0.0, 3.0], [1.0, 0.0, 3.0]], jnp.float32)
+    c = np.asarray(col_mod.colour_at(e.col, e.sm, CFG.submap, pts))
+    assert c[0, 0] > 0.8 and c[0, 1] < 0.2, c  # red side
+    assert c[1, 1] > 0.8 and c[1, 0] < 0.2, c  # green side
+
+    # coloured point export and coloured mesh export both succeed
+    path = os.path.join(tmp_path, "col.ply")
+    n = si.export_occupied_ply(path)
+    assert n > 50
+    head = open(path).read(400)
+    assert "property uchar red" in head
+    mpath = os.path.join(tmp_path, "mesh.ply")
+    nt = si.export_mesh_ply(mpath, e)
+    if nt:  # mesh lib present
+        assert "property uchar red" in open(mpath).read(400)

@@ -133,8 +133,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--out", default=None, help="write a markdown table")
+    ap.add_argument("--json", default=None, help="write structured results")
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
 
     max_dev = max(args.devices)
     flags = os.environ.get("XLA_FLAGS", "")
@@ -168,6 +171,43 @@ def main():
             f" / weak {sm_weak:.1f} ms",
             flush=True,
         )
+
+    if args.json:
+        import json
+
+        t1 = {r[0]: r for r in rows}.get(1, rows[0])
+        out = dict(
+            platform=jax.devices()[0].platform,
+            physical_cores=os.cpu_count(),
+            note=(
+                "virtual CPU mesh: devices share physical cores, so "
+                "absolute strong-scaling time is compute-bound by the "
+                "core count; weak-scaling flatness and per-device-work "
+                "shrinkage are the meaningful columns"
+            ),
+            shapes=dict(
+                window_ba="K=8 L=704 N=8192 (strong) / 1024*dev (weak)",
+                pose_graph="512 nodes, odometry + 25% loop edges",
+                submap="4096 rays (strong) / 512*dev (weak)",
+            ),
+            rows=[
+                dict(
+                    devices=n,
+                    ba_strong_ms=round(a, 1),
+                    ba_weak_ms=round(b, 1),
+                    posegraph_ms=round(c, 1),
+                    submap_strong_ms=round(d, 1),
+                    submap_weak_ms=round(e, 1),
+                    ba_weak_efficiency=round(t1[2] / b, 3),
+                    submap_weak_efficiency=round(t1[5] / e, 3),
+                    ba_strong_speedup=round(t1[1] / a, 3),
+                )
+                for n, a, b, c, d, e in rows
+            ],
+        )
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
 
     if args.out:
         plat = jax.devices()[0].platform
