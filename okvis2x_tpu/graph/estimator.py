@@ -1239,12 +1239,16 @@ class SlidingWindowEstimator:
         )
         gate_slot = np.int32(fid2slot.get(fid, -1))
         with timing.Timer("3.2 SolveDevice"):
-            p_opt, packed_d = run(
+            _p_opt, packed_d = run(
                 p, self.cams, gps_bufs, gate_slot,
                 np.asarray(gate_px, np.float32),
             )
+        # NOTE: the full optimised problem (_p_opt) is intentionally NOT
+        # kept in the handle — everything host-consumed rides `packed`,
+        # and holding ~50 device buffers per in-flight solve doubles HBM
+        # traffic for nothing
         return dict(
-            p_opt=p_opt, packed=packed_d, fid2slot=fid2slot,
+            packed=packed_d, fid2slot=fid2slot,
             obs_src=obs_src, nl=len(self.lm_ids), fid=fid,
             lm_lids=np.array(self.lm_ids, np.int64),
         )
@@ -2558,16 +2562,28 @@ class SlidingWindowEstimator:
             self.apply_full_ba_result(aux, p_opt)
             return float(cost)
 
-        # 1. global pose-graph solve (scales: edge-sharded matrix-free PCG)
-        from okvis2x_tpu.graph import posegraph
-
+        # 1. global pose-graph solve.  Above ~256 nodes the dense (6K)^2
+        # normal equations blow past HBM (measured: 2500 nodes compiled to
+        # a 17 GB program) — switch to the edge-sharded matrix-free LM-PCG
+        # like the background full-graph optimiser does.
         snap = self.snapshot_pose_graph()
         if snap is not None:
-            T_opt, _ = posegraph.optimize_pose_graph(
-                snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                snap["eT"], snap["eS"], iterations=iterations,
-                dtype=self.cfg.dtype,
-            )
+            if snap["T"].shape[0] > 256:
+                from okvis2x_tpu.parallel import dist_posegraph
+
+                T_opt, _ = dist_posegraph.optimize_pose_graph_pcg(
+                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                    snap["eT"], snap["eS"], iterations=iterations,
+                    dtype=self.cfg.dtype,
+                )
+            else:
+                from okvis2x_tpu.graph import posegraph
+
+                T_opt, _ = posegraph.optimize_pose_graph(
+                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                    snap["eT"], snap["eS"], iterations=iterations,
+                    dtype=self.cfg.dtype,
+                )
             if np.all(np.isfinite(np.asarray(T_opt))):
                 self.apply_pose_graph_result(snap["fids"], T_opt)
 

@@ -235,6 +235,7 @@ def generate(
     fx: float = 280.0,
     density: float = 22.0,
     progress: bool = False,
+    traj_kwargs: dict | None = None,
 ):
     """Write a synthetic stereo-inertial dataset; returns (cam_cfg dict,
     T_SC (2,7), ground truth array [t, p, q]).
@@ -253,8 +254,13 @@ def generate(
         width=width, height=height, model="radtan",
         dist_params=[-0.25, 0.06, 1e-4, -1e-4],
     )
-    traj = circuit_trajectory if trajectory == "circuit" else \
-        analytic_trajectory
+    # trajectory shape knobs (adversarial variants: fast rotation via
+    # circuit radius/speed — tests/test_adversarial.py)
+    tk = dict(traj_kwargs or {})
+    if trajectory == "circuit":
+        traj = lambda t, g=9.81007: circuit_trajectory(t, g, **tk)
+    else:
+        traj = analytic_trajectory
     T_SC = np.array(
         [[-baseline / 2, 0, 0, 0, 0, 0, 1.0], [baseline / 2, 0, 0, 0, 0, 0, 1.0]]
     )
@@ -282,6 +288,7 @@ def generate(
     # scene + frames
     if trajectory == "circuit":
         pts, bright, radius = make_circuit_scene(
+            radius=tk.get("radius", 8.0),
             density=density, seed=seed,
             sectors=6 if scene_version >= 2 else 0)
     else:

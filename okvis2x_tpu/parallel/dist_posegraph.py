@@ -186,6 +186,7 @@ def optimize_pose_graph_pcg(
     With `mesh` (1-D, axis "obs") the edge set is sharded across devices and
     the per-iteration reductions ride ICI; without, the same matrix-free
     program runs on one device (still O(E) memory instead of O((6K)^2))."""
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     E = len(edges_i)
     if edges_valid is None:
         edges_valid = np.ones(E, bool)

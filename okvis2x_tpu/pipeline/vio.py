@@ -79,6 +79,10 @@ class PipelineConfig:
     depth_max: float = 25.0
     loop_min_gap_s: float = 5.0
     loop_min_inliers: int = 15
+    # path driven between ACCEPTED closures before proposing again: on a
+    # sustained revisit every keyframe re-recognises the old map, and each
+    # acceptance costs a full-graph dispatch + landmark restores
+    loop_cooldown_m: float = 3.0
     drift_percentage: float = 1.35  # % of distance travelled
     # loop-closure frames held in the realtime window for landmark
     # re-observation + merging (≙ okvis2.yaml numLoopClosureFrames=3,
@@ -1105,10 +1109,16 @@ class VioPipeline:
                     self._lc_thread is not None and self.vocab is not None
                     and self._vocab_pretrained and not self.components
                 )
+                in_cooldown = (
+                    self.path_length
+                    - getattr(self, "_lc_last_path", -1e9)
+                    < self.cfg.loop_cooldown_m
+                )
                 self._record_keyframe(fid, kf_t, frame_data)
                 if use_async_pr:
-                    self._lc_enqueue(fid, kf_t)
-                elif self._attempt_loop_closure(fid, kf_t, frame_data):
+                    self._lc_enqueue(fid, kf_t, index_only=in_cooldown)
+                elif not in_cooldown and self._attempt_loop_closure(
+                        fid, kf_t, frame_data):
                     self.est.optimise()
             done.append(fid)
         for fid in done:
@@ -1637,11 +1647,13 @@ class VioPipeline:
             self._merge_loop_landmarks(rec, cand, pairs)
             self.full_graph.dispatch(self.est)
             self.n_loop_closures += 1
+            self._lc_last_path = self.path_length
             return True
         if self.est.close_loop(fid, cand_fid, T_cand_cur, sqrt_info):
             self._hold_loopclosure_frame(cand_fid)
             self._merge_loop_landmarks(rec, cand, pairs)
             self.n_loop_closures += 1
+            self._lc_last_path = self.path_length
             self._refresh_kf_poses()
             return True
         return False
@@ -1681,7 +1693,7 @@ class VioPipeline:
             except Exception:  # noqa: BLE001 — recognition must not kill SLAM
                 logging.exception("place-recognition worker failed")
 
-    def _lc_enqueue(self, fid: int, t: float):
+    def _lc_enqueue(self, fid: int, t: float, index_only: bool = False):
         exclude = {
             f for f, r in self.kf_records.items()
             if t - r["t"] < self.cfg.loop_min_gap_s
@@ -1692,9 +1704,10 @@ class VioPipeline:
             cur_p = self.kf_records[fid]["T_WS"][:3].copy()
         self._lc_queue.put(dict(
             fid=fid, t=t, exclude=exclude, cur_p=cur_p,
-            # under backlog, keep indexing keyframes but skip the RANSAC
-            # (recall degrades gracefully instead of the queue growing)
-            query=self._lc_queue.qsize() < 3,
+            # under backlog (or cooldown), keep indexing keyframes but
+            # skip the RANSAC (recall degrades gracefully instead of the
+            # queue growing)
+            query=not index_only and self._lc_queue.qsize() < 3,
         ))
 
     def _lc_poll(self) -> bool:
@@ -1732,7 +1745,12 @@ class VioPipeline:
         (≙ addLoopClosureFrame + numLoopClosureFrames window budget)."""
         if cand_fid in self.lc_frames:
             return
-        budget = max(64, self.est.cfg.cap_obs // 8)
+        # restore budget bounded by BOTH the observation headroom and a
+        # quarter of the landmark table — an unbounded restore can fill
+        # the whole table with old-map landmarks and starve the live
+        # frontier of slots
+        budget = max(64, min(self.est.cfg.cap_obs // 8,
+                             self.est.cfg.cap_landmarks // 4))
         # seed descriptors for the landmarks the record re-introduces
         rec = self.kf_records.get(cand_fid)
         if rec is not None:
@@ -1976,7 +1994,12 @@ class VioPipeline:
         return False
 
     def _refresh_kf_poses(self):
-        """Refresh stored keyframe pose snapshots after a correction."""
+        """Refresh stored keyframe snapshots after a correction: BOTH the
+        pose AND the landmark-position snapshot move rigidly by the pose
+        delta.  Updating only the pose leaves lm_pos in the record epoch,
+        and every later loop edge T_cand_cur = inv(T_refreshed) @
+        T_est(record epoch) would embed the correction as edge error —
+        measured on the 185 s circuit as metres of post-loop drift."""
         for f2, r2 in self.kf_records.items():
             st = self.est.archive_frames.get(f2)
             if st is None:
@@ -1984,8 +2007,21 @@ class VioPipeline:
                     st = self.est.get_state(f2)
                 except KeyError:
                     st = None
-            if st is not None:
-                r2["T_WS"] = st.T_WS.copy()
+            if st is None:
+                continue
+            T_old = np.asarray(r2["T_WS"])
+            T_new = st.T_WS.copy()
+            if np.allclose(T_old, T_new, atol=1e-12):
+                continue
+            dT = se3np.se3_multiply(T_new, se3np.se3_inverse(T_old))
+            R = se3np.quat_to_matrix(dT[3:7])
+            for key in ("lm_pos", "lm_pos1"):
+                lm = r2.get(key)
+                if lm is None:
+                    continue
+                ok = np.isfinite(lm[:, 0])
+                lm[ok] = lm[ok] @ R.T + dT[:3]
+            r2["T_WS"] = T_new
 
     def synchronise_full_graph(self, wait: bool = False) -> bool:
         """Apply a finished background full-graph optimisation, if any
@@ -2185,6 +2221,13 @@ class VioPipeline:
             with timing.Timer("2.8 LoopClosure"):
                 looped = self._lc_poll()
         if is_kf and self.cfg.do_loop_closures and frame_data is not None:
+            # during the post-closure cooldown keyframes are still
+            # RECORDED and indexed (future candidates) but no new
+            # proposal is verified
+            in_cooldown = (
+                self.path_length - getattr(self, "_lc_last_path", -1e9)
+                < self.cfg.loop_cooldown_m
+            )
             with timing.Timer("2.8 LoopClosure"):
                 if frame_data[0].packed is None:
                     # descriptor block still in flight: record + enqueue
@@ -2193,16 +2236,45 @@ class VioPipeline:
                 else:
                     self._record_keyframe(fid, t, frame_data)
                     if use_async_pr:
-                        self._lc_enqueue(fid, t)
-                    else:
+                        self._lc_enqueue(fid, t, index_only=in_cooldown)
+                    elif not in_cooldown:
                         looped = self._attempt_loop_closure(
                             fid, t, frame_data
                         ) or looped
+                    elif self.vocab is not None:
+                        # index without querying
+                        from okvis2x_tpu.frontend import bow
+
+                        rec = self.kf_records[fid]
+                        words = np.asarray(bow.assign_packed(
+                            rec["packed"], rec["valid"], self.vocab))
+                        rec["words"] = words
+                        self.bow_db.add(fid, words, rec["valid"])
         if looped:
             est.optimise()
 
         with timing.Timer("2.9 Marginalise"):
             est.marginalise()
+        # release loop-closure frames the window has moved past: a held
+        # LC frame pins its restored observations AND landmarks (they
+        # stay "observed" so never prune), and once covisibility with the
+        # current frame drops the whole landmark table can end up pinned
+        # by stale loop data — map matching then starves (measured: the
+        # 185 s circuit deadlocked at nl=cap after 16 closures).
+        # ≙ applyStrategy retiring loop-closure frames,
+        # ViSlamBackend.cpp:555-809.
+        if self.lc_frames:
+            m_cur = est.obs_fid == fid
+            cur_lids = np.unique(est.obs_lid[m_cur])
+            for old_fid in list(self.lc_frames):
+                m_lc = est.obs_fid == old_fid
+                shared = int(np.isin(
+                    est.obs_lid[m_lc], cur_lids
+                ).sum()) if m_lc.any() else 0
+                if shared < 5:
+                    self.lc_frames.remove(old_fid)
+                    est.remove_loopclosure_frame(old_fid)
+                    est._prune_landmarks()
         # drop per-frame data for dead frames
         live = {fr.fid for fr in est.frames}
         self.frames = {k: v for k, v in self.frames.items() if k in live}

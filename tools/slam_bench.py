@@ -134,9 +134,15 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
             per_frame.append(tf1 - tf0)
         if verbose and n % 100 == 0:
             el = time.perf_counter() - t_start
+            est = vio.est
+            hp_ok = bool(np.isfinite(est.hp_W).all()) if len(est.hp_W) else True
+            T_ok = bool(np.isfinite(info["T_WS"]).all())
             print(
                 f"frame {n}  wall={el:.0f}s kf={info['is_keyframe']} "
-                f"map={info['n_map']} loops={vio.n_loop_closures}",
+                f"map={info['n_map']} st={info['n_stereo']} "
+                f"loops={vio.n_loop_closures} nl={len(est.lm_ids)} "
+                f"obs={len(est.obs_fid)} hp_ok={hp_ok} T_ok={T_ok} "
+                f"q={info['tracking_quality']}",
                 file=sys.stderr, flush=True,
             )
         if max_frames and n >= max_frames:
