@@ -1609,6 +1609,11 @@ class VioPipeline:
         return dict(
             fid=fid, cand_fid=cand_fid, T_WS_est=T_WS_est, n_inl=n_inl,
             pairs=pairs,
+            # candidate pose in the SAME epoch as the lm_pos snapshot the
+            # RANSAC ran against: _lc_accept must use this, not the
+            # possibly-refreshed record, or a correction landing between
+            # verify and accept is embedded into the edge
+            cand_T_WS=np.asarray(cand["T_WS"]).copy(),
         )
 
     def _lc_accept(self, prop: dict) -> bool:
@@ -1623,19 +1628,27 @@ class VioPipeline:
         if rec is None or cand is None:
             return False
         T_WS_est, n_inl, pairs = prop["T_WS_est"], prop["n_inl"], prop["pairs"]
-        # drift-budget acceptance (≙ ViSlamBackend.cpp:2461-2484)
+        # relative edge from the verify-epoch pair (epoch-consistent even
+        # if a correction landed between verify and accept)
+        T_cand = prop.get("cand_T_WS")
+        if T_cand is None:
+            T_cand = np.asarray(cand["T_WS"])
+        T_cand_cur = se3np.se3_multiply(
+            se3np.se3_inverse(T_cand), np.asarray(T_WS_est)
+        )
+        # drift-budget acceptance in the CURRENT epoch: predict this
+        # frame's pose through the refreshed candidate pose + the edge
+        # (≙ ViSlamBackend.cpp:2461-2484)
         try:
             T_WS_cur = self.est.get_state(fid).T_WS
         except KeyError:
             T_WS_cur = rec["T_WS"]
-        correction = np.linalg.norm(T_WS_est[:3] - T_WS_cur[:3])
+        T_pred = se3np.se3_multiply(np.asarray(cand["T_WS"]), T_cand_cur)
+        correction = np.linalg.norm(T_pred[:3] - T_WS_cur[:3])
         dist = max(self.path_length - cand["path"], 0.5)
         budget = cfg.drift_percentage / 100.0 * dist + 0.2
         if correction > budget:
             return False
-        T_cand_cur = se3np.se3_multiply(
-            se3np.se3_inverse(np.asarray(cand["T_WS"])), np.asarray(T_WS_est)
-        )
         sqrt_info = np.eye(6) * (10.0 * np.sqrt(n_inl))
         if self.cfg.async_loop_closure:
             # dual-graph path: persist the loop edge now, optimise the full
@@ -2000,6 +2013,15 @@ class VioPipeline:
         and every later loop edge T_cand_cur = inv(T_refreshed) @
         T_est(record epoch) would embed the correction as edge error —
         measured on the 185 s circuit as metres of post-loop drift."""
+        import contextlib
+
+        # never move snapshots under a verification running on the
+        # recognition worker (mixed-epoch lm_pos reads make bad edges)
+        lock = getattr(self, "_lc_active", None)
+        with lock if lock is not None else contextlib.nullcontext():
+            self._refresh_kf_poses_locked()
+
+    def _refresh_kf_poses_locked(self):
         for f2, r2 in self.kf_records.items():
             st = self.est.archive_frames.get(f2)
             if st is None:

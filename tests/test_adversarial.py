@@ -94,9 +94,9 @@ def test_fast_rotation():
     (the regime where motion-stereo parallax drops and gravity-aligned
     descriptor extraction must keep matching)."""
     ds = _dataset(dict(
-        duration=6.0, frame_rate=10.0, width=320, height=240,
+        duration=6.0, frame_rate=20.0, width=320, height=240,
         trajectory="circuit", fx=280.0, density=30.0, seed=11,
-        traj_kwargs=dict(radius=3.5, speed=2.8, z_amp=0.15),
+        traj_kwargs=dict(radius=4.0, speed=2.5, z_amp=0.15),
     ))
     ate = _run(ds)
     assert ate < 0.45, f"fast-rotation ATE {ate:.3f}"
