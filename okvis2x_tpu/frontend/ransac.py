@@ -188,10 +188,59 @@ def absolute_pose_noncentral(
     inl = (cosang > jnp.cos(threshold_rad)) & mask[None, :] & (depth > 0)
     scores = inl.sum(axis=1)
     best = jnp.argmax(scores)
-    q_SW = se3.matrix_to_quat(R[best])
-    T_SW = jnp.concatenate([t[best], q_SW])
+
+    # iterated refinement on the consensus set (≙ the reference's
+    # nonlinear refinement after RANSAC, Frontend.cpp verifyRecognisedPlace
+    # :258-604): the 3-point hypothesis was built on GUESSED depths, so
+    # its pose is decimetres off at room scale — which poisons every loop
+    # edge built from it.  Alternate (a) depth-consistent placement of
+    # the world points on their measured rays with (b) a weighted Kabsch
+    # over all current angular inliers; re-select inliers each round.
+    cos_thr = jnp.cos(threshold_rad)
+
+    def refine(carry, _):
+        R_c, t_c = carry
+        ps1 = pts_W @ R_c.T + t_c
+        v1 = ps1 - origins_S
+        d1 = jnp.einsum("ni,ni->n", v1, rays_S)
+        v1n = v1 / jnp.maximum(
+            jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-12
+        )
+        w = (
+            (jnp.einsum("ni,ni->n", v1n, rays_S) > cos_thr)
+            & mask & (d1 > 0)
+        ).astype(pts_W.dtype)
+        P_s = origins_S + rays_S * d1[:, None]
+        wsum = jnp.maximum(w.sum(), 1.0)
+        cc1 = (P_s * w[:, None]).sum(0) / wsum
+        cw1 = (pts_W * w[:, None]).sum(0) / wsum
+        H1 = jnp.einsum(
+            "ni,nj->ij", (P_s - cc1) * w[:, None], pts_W - cw1
+        )
+        U1, _S1, Vt1 = jnp.linalg.svd(H1)
+        det1 = jnp.linalg.det(U1 @ Vt1)
+        R_n = (U1 * jnp.stack(
+            [jnp.ones_like(det1), jnp.ones_like(det1), det1]
+        )[None, :]) @ Vt1
+        t_n = cc1 - R_n @ cw1
+        # guard: a degenerate consensus (wsum ~ 3) keeps the old pose
+        ok = w.sum() >= 4
+        return (jnp.where(ok, R_n, R_c), jnp.where(ok, t_n, t_c)), None
+
+    (R_f, t_f), _ = jax.lax.scan(refine, (R[best], t[best]), None, length=8)
+
+    # final consensus at the refined pose
+    psf = pts_W @ R_f.T + t_f
+    vf = psf - origins_S
+    df = jnp.einsum("ni,ni->n", vf, rays_S)
+    vfn = vf / jnp.maximum(jnp.linalg.norm(vf, axis=-1, keepdims=True), 1e-12)
+    inl_f = (
+        (jnp.einsum("ni,ni->n", vfn, rays_S) > cos_thr) & mask & (df > 0)
+    )
+    q_SW = se3.matrix_to_quat(R_f)
+    T_SW = jnp.concatenate([t_f, q_SW])
     T_WS = se3.se3_inverse(T_SW)
-    return RansacResult(T=T_WS, inliers=inl[best], num_inliers=scores[best])
+    return RansacResult(T=T_WS, inliers=inl_f, num_inliers=inl_f.sum())
 
 
 def relative_rotation_2pt(
