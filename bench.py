@@ -151,6 +151,10 @@ def main():
                     "loop_closures": slam["loop_closures"],
                     "landmarks_merged": slam["landmarks_merged"],
                     "frames": slam["frames"],
+                    "keyframes": slam.get("keyframes"),
+                    "finish_s": slam.get("wall_split_s", {}).get("finish"),
+                    "final_ba_s": slam.get("final_ba_s"),
+                    "wall_split_s": slam.get("wall_split_s"),
                     "ba_iterations_per_s": round(ba_its, 2),
                     "ba_vs_ref_budget": round(ba_its / BASELINE_ITERS_PER_S, 3),
                     "hamming_gbs": round(gbs, 2),

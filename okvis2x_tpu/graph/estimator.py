@@ -2562,51 +2562,61 @@ class SlidingWindowEstimator:
             self.apply_full_ba_result(aux, p_opt)
             return float(cost)
 
-        # 1. global pose-graph solve.  Above ~256 nodes the dense (6K)^2
-        # normal equations blow past HBM (measured: 2500 nodes compiled to
-        # a 17 GB program) — switch to the edge-sharded matrix-free LM-PCG
-        # like the background full-graph optimiser does.
-        snap = self.snapshot_pose_graph()
-        if snap is not None:
-            if snap["T"].shape[0] > 256:
-                from okvis2x_tpu.parallel import dist_posegraph
-
-                T_opt, _ = dist_posegraph.optimize_pose_graph_pcg(
-                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                    snap["eT"], snap["eS"], iterations=iterations,
-                    dtype=self.cfg.dtype,
-                )
-            else:
-                from okvis2x_tpu.graph import posegraph
-
-                T_opt, _ = posegraph.optimize_pose_graph(
-                    snap["T"], snap["fixed"], snap["ei"], snap["ej"],
-                    snap["eT"], snap["eS"], iterations=iterations,
-                    dtype=self.cfg.dtype,
-                )
-            if np.all(np.isfinite(np.asarray(T_opt))):
-                self.apply_pose_graph_result(snap["fids"], T_opt)
-
-        # 2. segmented exact BA, 25% overlap, margin-anchored
-        step = max(max_nodes * 3 // 4, 1)
-        margin = max(max_nodes // 16, 2)
+        # Alternating sweeps: a global pose-graph solve distributes the
+        # loop-closure corrections, then overlapping exact-BA segments
+        # refine at full nonlinearity with boundary anchors.  One sweep
+        # leaves whatever global shape error the pose graph had frozen
+        # into the segment boundaries (measured: final ATE varies 0.03 ↔
+        # 0.17 m run-to-run on the circuit); a second sweep re-solves the
+        # pose graph from the segment-refined odometry and re-anchors,
+        # which converges the boundary error out.
         cost = 0.0
-        i0 = 0
-        while i0 < n_nodes:
-            i1 = min(i0 + max_nodes, n_nodes)
-            out = self._full_problem(
-                use_imu=redo_imu, node_slice=(i0, i1),
-                fix_margin=margin if i0 > 0 else 0,
-            )
-            if out is not None:
-                p, aux = out
-                run = self._full_ba_run_fn(aux, iterations)
-                p_opt, seg_cost = run(p, self.cams)
-                self.apply_full_ba_result(aux, p_opt)
-                cost += float(seg_cost)
-            if i1 >= n_nodes:
-                break
-            i0 += step
+        for _ in range(2):
+            # 1. global pose-graph solve.  Above ~256 nodes the dense
+            # (6K)^2 normal equations blow past HBM (measured: 2500 nodes
+            # compiled to a 17 GB program) — switch to the edge-sharded
+            # matrix-free LM-PCG like the background optimiser does.
+            snap = self.snapshot_pose_graph()
+            if snap is not None:
+                if snap["T"].shape[0] > 256:
+                    from okvis2x_tpu.parallel import dist_posegraph
+
+                    T_opt, _ = dist_posegraph.optimize_pose_graph_pcg(
+                        snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                        snap["eT"], snap["eS"], iterations=iterations,
+                        dtype=self.cfg.dtype,
+                    )
+                else:
+                    from okvis2x_tpu.graph import posegraph
+
+                    T_opt, _ = posegraph.optimize_pose_graph(
+                        snap["T"], snap["fixed"], snap["ei"], snap["ej"],
+                        snap["eT"], snap["eS"], iterations=iterations,
+                        dtype=self.cfg.dtype,
+                    )
+                if np.all(np.isfinite(np.asarray(T_opt))):
+                    self.apply_pose_graph_result(snap["fids"], T_opt)
+
+            # 2. segmented exact BA, 25% overlap, margin-anchored
+            step = max(max_nodes * 3 // 4, 1)
+            margin = max(max_nodes // 16, 2)
+            cost = 0.0
+            i0 = 0
+            while i0 < n_nodes:
+                i1 = min(i0 + max_nodes, n_nodes)
+                out = self._full_problem(
+                    use_imu=redo_imu, node_slice=(i0, i1),
+                    fix_margin=margin if i0 > 0 else 0,
+                )
+                if out is not None:
+                    p, aux = out
+                    run = self._full_ba_run_fn(aux, iterations)
+                    p_opt, seg_cost = run(p, self.cams)
+                    self.apply_full_ba_result(aux, p_opt)
+                    cost += float(seg_cost)
+                if i1 >= n_nodes:
+                    break
+                i0 += step
         return cost
 
     # ------------------------------------------------------------- outputs

@@ -63,19 +63,50 @@ def optimize_pose_graph(
     dtype=jnp.float64,
 ):
     """Pure pose-graph GN/LM: returns optimised (K, 7) poses."""
-    K = T_WS.shape[0]
-    R = len(edges_i)
+    import jax
+
+    # resolve f64-request → best available (f32 on TPU) once, silently
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
+    K0 = T_WS.shape[0]
+    R0 = len(edges_i)
+
+    # pow2 capacity buckets: one compiled program serves every pose-graph
+    # size in the bucket (an unbucketed K would recompile on every
+    # background dispatch as keyframes accumulate)
+    def _bucket(n, base):
+        c = base
+        while c < n:
+            c *= 2
+        return c
+
+    K = _bucket(K0, 16)
+    R = _bucket(R0, 16)
+    id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    T_full = np.concatenate([np.asarray(T_WS), np.tile(id7, (K - K0, 1))])
+    fix_full = np.concatenate([np.asarray(fixed, bool), np.ones(K - K0, bool)])
+    valid_full = np.zeros(K, bool)
+    valid_full[:K0] = True
+    ei = np.zeros(R, np.int32)
+    ej = np.zeros(R, np.int32)
+    eT = np.tile(id7, (R, 1))
+    eS = np.zeros((R, 6, 6))
+    rv = np.zeros(R, bool)
+    ei[:R0] = edges_i
+    ej[:R0] = edges_j
+    eT[:R0] = edges_T
+    eS[:R0] = edges_sqrt_info
+    rv[:R0] = True
     p = prb.empty_problem(K=K, L=1, C=1, N=1, M=1, R=R, dtype=dtype)
     p = p._replace(
-        T_WS=jnp.asarray(T_WS, dtype),
-        frame_valid=jnp.ones(K, bool),
-        pose_fixed=jnp.asarray(fixed),
+        T_WS=jnp.asarray(T_full, dtype),
+        frame_valid=jnp.asarray(valid_full),
+        pose_fixed=jnp.asarray(fix_full),
         sb_fixed=jnp.ones(K, bool),
-        rel_i=jnp.asarray(edges_i, jnp.int32),
-        rel_j=jnp.asarray(edges_j, jnp.int32),
-        rel_T=jnp.asarray(edges_T, dtype),
-        rel_sqrt_info=jnp.asarray(edges_sqrt_info, dtype),
-        rel_valid=jnp.ones(R, bool),
+        rel_i=jnp.asarray(ei),
+        rel_j=jnp.asarray(ej),
+        rel_T=jnp.asarray(eT, dtype),
+        rel_sqrt_info=jnp.asarray(eS, dtype),
+        rel_valid=jnp.asarray(rv),
     )
     # dummy camera (no observations are valid)
     from okvis2x_tpu.cameras import pinhole
@@ -84,4 +115,4 @@ def optimize_pose_graph(
     cams = gn.stack_cameras([cam])
     cfg = gn.SolverConfig(max_iterations=iterations, estimate_landmarks=False)
     p_opt, cost = gn.optimize(p, cams, cfg)
-    return np.asarray(p_opt.T_WS), float(cost)
+    return np.asarray(p_opt.T_WS)[:K0], float(cost)

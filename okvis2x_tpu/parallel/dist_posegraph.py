@@ -196,6 +196,34 @@ def optimize_pose_graph_pcg(
     eS = np.asarray(edges_sqrt_info)
     ev = np.asarray(edges_valid, bool)
 
+    # pow2 capacity buckets so the background optimiser compiles ONE
+    # program per bucket instead of one per keyframe count — on a
+    # remote-compile backend an unbucketed K means a multi-second compile
+    # on EVERY dispatch of a growing pose graph
+    K0 = T_WS.shape[0]
+    id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+
+    def _bucket(n, base):
+        c = base
+        while c < n:
+            c *= 2
+        return c
+
+    Kp = _bucket(K0, 64)
+    if Kp > K0:
+        T_WS = np.concatenate([np.asarray(T_WS), np.tile(id7, (Kp - K0, 1))])
+        fixed = np.concatenate([np.asarray(fixed, bool),
+                                np.ones(Kp - K0, bool)])
+    Ep = _bucket(E, 256)
+    if Ep > E:
+        pe = Ep - E
+        ei = np.concatenate([ei, np.zeros(pe, np.int32)])
+        ej = np.concatenate([ej, np.zeros(pe, np.int32)])
+        eT = np.concatenate([eT, np.tile(id7, (pe, 1))])
+        eS = np.concatenate([eS, np.zeros((pe, 6, 6))])
+        ev = np.concatenate([ev, np.zeros(pe, bool)])
+        E = Ep
+
     if mesh is not None:
         D = mesh.devices.size
         pad = (-E) % D
@@ -240,4 +268,4 @@ def optimize_pose_graph_pcg(
         shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
         args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
         T_opt, cost = jax.jit(core)(*args)
-    return np.asarray(T_opt), float(cost)
+    return np.asarray(T_opt)[:K0], float(cost)

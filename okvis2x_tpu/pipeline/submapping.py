@@ -28,6 +28,10 @@ from okvis2x_tpu.core import se3
 from okvis2x_tpu.mapping import icp_factor
 from okvis2x_tpu.mapping import submap as sm_mod
 
+# best available float (f64 under x64/CPU validation runs, f32 on TPU),
+# resolved once so pose math never emits truncation warnings
+_FDT = jax.dtypes.canonicalize_dtype(jnp.float64)
+
 
 @dataclasses.dataclass
 class SubmappingConfig:
@@ -198,7 +202,7 @@ class SubmappingInterface:
         a = self.active
         T_KS = np.asarray(
             se3.se3_multiply(
-                se3.se3_inverse(jnp.asarray(a.sm.T_WK)), jnp.asarray(T_WS, jnp.float64)
+                se3.se3_inverse(jnp.asarray(a.sm.T_WK)), jnp.asarray(T_WS, _FDT)
             )
         )
         origin_K = jnp.asarray(T_KS[:3], jnp.float32)
@@ -275,7 +279,7 @@ class SubmappingInterface:
         a = self.active
         T_KC = np.asarray(
             se3.se3_multiply(
-                se3.se3_inverse(jnp.asarray(a.sm.T_WK)), jnp.asarray(T_WC, jnp.float64)
+                se3.se3_inverse(jnp.asarray(a.sm.T_WK)), jnp.asarray(T_WC, _FDT)
             )
         )
         key = ("depth", depth.shape)

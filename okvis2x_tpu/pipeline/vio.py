@@ -251,6 +251,7 @@ class VioPipeline:
         self._lc_thread = None
         self._lc_queue = None
         self._lc_results = None
+        self._lc_skipped = 0  # keyframes demoted to index-only under backlog
         if cfg.do_loop_closures and cfg.async_place_recognition:
             import queue as queue_mod
             import threading
@@ -1588,24 +1589,26 @@ class VioPipeline:
         scores = np.array([s for _, s in res])
         bulk = float(scores.mean())
         self._lc_debug = dict(top=float(scores[0]), bulk=bulk, n=len(res))
-        ver = None
-        cand_fid = None
+        sel = []
         for rank, (cf, score) in enumerate(res[:3]):
             if rank >= 2 and not (
                     score >= cfg.p_dbow
                     or (score >= cfg.p_prominence * bulk
                         and score >= 0.05)):
                 continue
-            cand_fid = cf
-            cand = self.kf_records.get(cand_fid)
+            cand = self.kf_records.get(cf)
             if cand is None:
                 continue
-            ver = self._geometric_verify(fid, rec, cand, cur_p)
-            if ver is not None:
-                break
+            sel.append((cf, cand))
+        if not sel:
+            return None
+        # all gated candidates verified in 2 device executions (batched
+        # matcher + vmapped RANSAC); best-supported candidate wins
+        ver = self._geometric_verify_batch(fid, rec, sel, cur_p)
         if ver is None:
             return None
-        T_WS_est, n_inl, pairs = ver
+        cand_fid, T_WS_est, n_inl, pairs = ver
+        cand = next(cd for cf, cd in sel if cf == cand_fid)
         return dict(
             fid=fid, cand_fid=cand_fid, T_WS_est=T_WS_est, n_inl=n_inl,
             pairs=pairs,
@@ -1715,12 +1718,18 @@ class VioPipeline:
             cur_p = self.est.get_state(fid).T_WS[:3].copy()
         except KeyError:
             cur_p = self.kf_records[fid]["T_WS"][:3].copy()
+        # under backlog, keep indexing keyframes but skip the RANSAC —
+        # except never demote more than 2 keyframes in a row: dropping
+        # EVERY query under sustained device contention silently disables
+        # loop closure entirely (measured: 0 closures / 0.86 m ATE)
+        q_ok = self._lc_queue.qsize() < 6
+        query = not index_only and (q_ok or self._lc_skipped >= 2)
+        if not index_only and not query:
+            self._lc_skipped += 1
+        elif query:
+            self._lc_skipped = 0
         self._lc_queue.put(dict(
-            fid=fid, t=t, exclude=exclude, cur_p=cur_p,
-            # under backlog (or cooldown), keep indexing keyframes but
-            # skip the RANSAC (recall degrades gracefully instead of the
-            # queue growing)
-            query=not index_only and self._lc_queue.qsize() < 3,
+            fid=fid, t=t, exclude=exclude, cur_p=cur_p, query=query,
         ))
 
     def _lc_poll(self) -> bool:
@@ -1893,6 +1902,158 @@ class VioPipeline:
         inl = np.asarray(res_r.inliers)[:n]
         pairs = [pair_l[i] for i in np.nonzero(inl)[0]]
         return T_WS_est, n_inl, pairs
+
+    # --- batched place-recognition verification (worker fast path).
+    # The per-candidate path above costs ~6 queued device executions per
+    # query (2 cams x up to 3 candidates + RANSAC); behind a busy frame
+    # loop each waits a full frame cycle, the worker falls behind, the
+    # backlog gate demotes every keyframe to index-only and loop closure
+    # silently dies (measured: 0 closures / 0.86 m ATE on the fast-loop
+    # circuit vs 7 closures / 0.14 m on the slow one).  Batching all
+    # candidates x cameras into ONE matmul-Hamming program + ONE vmapped
+    # RANSAC caps a query at 2 executions regardless of fan-out.
+    _LC_MAX_CAND = 3
+
+    def _lc_match_fn(self):
+        """ONE jitted program: mutual-best packed-descriptor matching of
+        the query keyframe against B candidate records over all cameras
+        (±1 bf16 matmul Hamming, frontend/matcher.py formulation)."""
+        if "lc_match" not in self._jit:
+            from okvis2x_tpu.frontend import descriptor as desc_mod
+
+            thr = float(self.cfg.matching_threshold)
+
+            def run(rec_pk, rec_v, cand_pk, cand_v):
+                # rec (C,N,12)u32/(C,N)bool; cand (B,C,N,12)/(B,C,N)
+                N = rec_v.shape[1]
+                rec_pm = jax.vmap(desc_mod.unpack_pm1)(rec_pk, rec_v)
+                cand_pm = jax.vmap(jax.vmap(desc_mod.unpack_pm1))(
+                    cand_pk, cand_v
+                )
+                dots = jnp.einsum(
+                    "cnd,bcmd->bcnm", rec_pm, cand_pm,
+                    preferred_element_type=jnp.float32,
+                )
+                dist = 0.5 * (desc_mod.DESC_BITS - dots)
+                mi = jnp.argmin(dist, axis=-1)  # (B,C,N)
+                md = jnp.min(dist, axis=-1)
+                back = jnp.argmin(dist, axis=-2)  # (B,C,M)
+                mutual = (
+                    jnp.take_along_axis(back, mi, axis=-1)
+                    == jnp.arange(N)[None, None]
+                )
+                ok = (
+                    mutual & (md <= thr) & rec_v[None]
+                    & jnp.take_along_axis(cand_v, mi, axis=-1)
+                )
+                return mi.astype(jnp.int32), ok
+
+            self._jit["lc_match"] = jax.jit(run)
+        return self._jit["lc_match"]
+
+    def _lc_ransac_fn(self):
+        from okvis2x_tpu.frontend import ransac
+
+        if "ransac_nc_b" not in self._jit:
+            self._jit["ransac_nc_b"] = jax.jit(
+                jax.vmap(
+                    lambda k, r, o, p, m, d: ransac.absolute_pose_noncentral(
+                        k, r, o, p, m, d, n_hyp=512
+                    )
+                )
+            )
+        return self._jit["ransac_nc_b"]
+
+    def _geometric_verify_batch(self, fid: int, rec: dict, sel, cur_p=None):
+        """Verify up to _LC_MAX_CAND candidate records in 2 device
+        executions; returns (cand_fid, T_WS_est, n_inl, pairs) of the
+        best-supported candidate or None.  Same geometry as
+        _geometric_verify; all candidates are RANSAC'd and the one with
+        the most inliers wins (better recall than first-hit-wins)."""
+        cfg = self.cfg
+        Bc = self._LC_MAX_CAND
+        N = cfg.max_keypoints
+        cam_keys = [(0, "packed", "valid", "uv", "lm_pos")]
+        if "packed1" in rec:
+            cam_keys.append((1, "packed1", "valid1", "uv1", "lm_pos1"))
+        C = len(cam_keys)
+        rec_pk = np.stack([rec[pk] for _, pk, _, _, _ in cam_keys])
+        rec_v = np.stack([rec[vk] for _, _, vk, _, _ in cam_keys])
+        cand_pk = np.zeros((Bc, C, N, 12), np.uint32)
+        cand_v = np.zeros((Bc, C, N), bool)
+        for b, (_cf, cand) in enumerate(sel[:Bc]):
+            for c, (_ci, pk, vk, _uk, _lk) in enumerate(cam_keys):
+                if pk in cand:
+                    cand_pk[b, c] = cand[pk]
+                    cand_v[b, c] = cand[vk]
+        mi_d, ok_d = self._lc_match_fn()(
+            jnp.asarray(rec_pk), jnp.asarray(rec_v),
+            jnp.asarray(cand_pk), jnp.asarray(cand_v),
+        )
+        mi = np.asarray(mi_d)
+        ok = np.asarray(ok_d)
+
+        if cur_p is None:
+            cur_p = self.est.get_state(fid).T_WS[:3]
+        cap = 2 * cfg.max_keypoints
+        rays_b = np.zeros((Bc, cap, 3))
+        orig_b = np.zeros((Bc, cap, 3))
+        pts_b = np.zeros((Bc, cap, 3))
+        mask_b = np.zeros((Bc, cap), bool)
+        depth_b = np.ones((Bc, cap))
+        pairs_b = [[] for _ in range(Bc)]
+        for b, (_cf, cand) in enumerate(sel[:Bc]):
+            rays_l, orig_l, pts_l, pair_l = [], [], [], []
+            for c, (ci, _pk, _vk, uk, lk) in enumerate(cam_keys):
+                if lk not in cand:
+                    continue
+                has_lm = np.isfinite(cand[lk][:, 0])
+                keep = np.nonzero(ok[b, c] & has_lm[mi[b, c]])[0]
+                if len(keep) == 0:
+                    continue
+                rays_C, okp = pinhole_np.back_project_unit(
+                    self.np_cameras[ci], rec[uk][keep]
+                )
+                keep, rays_C = keep[okp], rays_C[okp]
+                R_SC = se3np.quat_to_matrix(self.T_SC[ci][3:7])
+                rays_l.append(rays_C @ R_SC.T)
+                orig_l.append(np.tile(self.T_SC[ci][:3], (len(keep), 1)))
+                pts_l.append(cand[lk][mi[b, c][keep]])
+                pair_l.extend(
+                    (ci, int(kc), int(kd))
+                    for kc, kd in zip(keep, mi[b, c][keep])
+                )
+            if not pair_l or len(pair_l) < cfg.loop_min_inliers:
+                continue
+            n = min(len(pair_l), cap)
+            rays_b[b, :n] = np.concatenate(rays_l)[:n]
+            orig_b[b, :n] = np.concatenate(orig_l)[:n]
+            p3 = np.concatenate(pts_l)[:n]
+            pts_b[b, :n] = p3
+            mask_b[b, :n] = True
+            depth_b[b, :n] = np.linalg.norm(p3 - cur_p, axis=-1)
+            pairs_b[b] = pair_l[:n]
+        if not any(m.any() for m in mask_b):
+            return None
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(Bc, dtype=jnp.uint32) + jnp.uint32(fid)
+        )
+        res_r = self._lc_ransac_fn()(
+            keys, jnp.asarray(rays_b), jnp.asarray(orig_b),
+            jnp.asarray(pts_b), jnp.asarray(mask_b), jnp.asarray(depth_b),
+        )
+        n_inl_b = np.asarray(res_r.num_inliers)
+        best = int(np.argmax(n_inl_b))
+        if not pairs_b[best] or int(n_inl_b[best]) < cfg.loop_min_inliers:
+            return None
+        inl = np.asarray(res_r.inliers)[best][: len(pairs_b[best])]
+        pairs = [pairs_b[best][i] for i in np.nonzero(inl)[0]]
+        return (
+            sel[best][0],
+            np.asarray(res_r.T)[best],
+            int(n_inl_b[best]),
+            pairs,
+        )
 
     # ------------------------------------------------- multi-session maps
     def load_component(self, path: str, fixed: bool = True) -> bool:

@@ -188,7 +188,7 @@ def test_save_map_g2o(tmp_path):
 
     cam = pinhole.make_pinhole(400, 400, 320, 240, 640, 480, model=dist.NONE)
     est = SlidingWindowEstimator(
-        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=8,
+        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=16,
                         cap_imu_links=3),
         [cam], np.array([[0, 0, 0, 0, 0, 0, 1.0]]),
     )

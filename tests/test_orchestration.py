@@ -179,7 +179,7 @@ def test_tracking_quality_monitor():
     cam = pinhole.make_pinhole(100, 100, 64, 48, 128, 96, model=dist.NONE)
     pipe = VioPipeline(
         [cam], np.array([[0, 0, 0, 0, 0, 0, 1.0]]),
-        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=8,
+        EstimatorConfig(cap_frames=4, cap_landmarks=8, cap_obs=16,
                         cap_imu_links=3),
         PipelineConfig(),
     )
