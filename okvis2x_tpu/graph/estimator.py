@@ -2074,14 +2074,22 @@ class SlidingWindowEstimator:
         )
 
     def apply_pose_graph_result(
-        self, fids: List[int], T_opt: np.ndarray
+        self, fids: List[int], T_opt: np.ndarray, backlog: bool = True
     ) -> bool:
         """Write an optimised pose-graph solution back and replay the
         backlog: snapshot nodes still known get their optimised poses;
         every state created (or kept active) since the snapshot is rigidly
         corrected by the anchor's pose change, velocities rotated and
         landmarks transformed along (≙ synchroniseRealtimeAndFullGraph,
-        okvis_ceres/src/ViSlamBackend.cpp:1589-1870)."""
+        okvis_ceres/src/ViSlamBackend.cpp:1589-1870).
+
+        `backlog=False` writes node poses only — REQUIRED for partial
+        (segmented final-BA) snapshots that do not cover the newest
+        history: a held loop-closure frame is a live window member with an
+        OLD fid, so an early segment would otherwise anchor on it and
+        rigidly drag the whole live window + landmark table by a
+        mid-history correction (measured: final ATE 1.66 m vs 0.05 m
+        run-to-run depending on whether LC frames were still held)."""
         T_opt = np.asarray(T_opt)
         if not np.all(np.isfinite(T_opt)):
             return False
@@ -2090,10 +2098,11 @@ class SlidingWindowEstimator:
         # anchor = newest live window frame that was part of the snapshot;
         # its *current* realtime pose defines the correction for the backlog
         anchor = None
-        for f in reversed(self.frames):
-            if f.fid in idx:
-                anchor = f
-                break
+        if backlog:
+            for f in reversed(self.frames):
+                if f.fid in idx:
+                    anchor = f
+                    break
         dT = None
         if anchor is not None:
             dT = se3np.se3_multiply(
@@ -2490,16 +2499,18 @@ class SlidingWindowEstimator:
             )
         return self._jit_cache[key]
 
-    def apply_full_ba_result(self, aux, p_opt) -> bool:
+    def apply_full_ba_result(self, aux, p_opt, backlog: bool = True) -> bool:
         """Write a full-BA solution back: optimised poses / speed-bias /
         landmarks for snapshot members; frames and landmarks created since
         the snapshot ride the rigid backlog correction (≙
-        synchroniseRealtimeAndFullGraph, ViSlamBackend.cpp:1589-1870)."""
+        synchroniseRealtimeAndFullGraph, ViSlamBackend.cpp:1589-1870).
+        Pass backlog=False for partial (segment) snapshots."""
         nf = len(aux["fids"])
         T_out = np.asarray(p_opt.T_WS)
         if not np.all(np.isfinite(T_out[:nf])):
             return False
-        self.apply_pose_graph_result(aux["fids"], T_out[:nf])
+        self.apply_pose_graph_result(aux["fids"], T_out[:nf],
+                                     backlog=backlog)
         sb_out = np.asarray(p_opt.sb)
         window = {f.fid: f for f in self.frames}
         for fid, slot in aux["fid2slot"].items():
@@ -2532,7 +2543,7 @@ class SlidingWindowEstimator:
                     aux=aux, cams=self.cams)
 
     def final_ba(self, iterations: int = 15, redo_imu: bool = True,
-                 max_nodes: int = 128) -> float:
+                 max_nodes: int = 128, stage_cb=None) -> float:
         """Full-batch bundle adjustment over the whole history
         (≙ ViSlamBackend::doFinalBa, okvis_ceres/src/ViSlamBackend.cpp:2005):
         re-expand archived observations, unfreeze all keyframe poses and
@@ -2571,7 +2582,7 @@ class SlidingWindowEstimator:
         # pose graph from the segment-refined odometry and re-anchors,
         # which converges the boundary error out.
         cost = 0.0
-        for _ in range(2):
+        for sweep in range(2):
             # 1. global pose-graph solve.  Above ~256 nodes the dense
             # (6K)^2 normal equations blow past HBM (measured: 2500 nodes
             # compiled to a 17 GB program) — switch to the edge-sharded
@@ -2596,6 +2607,8 @@ class SlidingWindowEstimator:
                     )
                 if np.all(np.isfinite(np.asarray(T_opt))):
                     self.apply_pose_graph_result(snap["fids"], T_opt)
+            if stage_cb is not None:
+                stage_cb(f"pg{sweep + 1}")
 
             # 2. segmented exact BA, 25% overlap, margin-anchored
             step = max(max_nodes * 3 // 4, 1)
@@ -2612,8 +2625,23 @@ class SlidingWindowEstimator:
                     p, aux = out
                     run = self._full_ba_run_fn(aux, iterations)
                     p_opt, seg_cost = run(p, self.cams)
-                    self.apply_full_ba_result(aux, p_opt)
-                    cost += float(seg_cost)
+                    if np.isfinite(float(seg_cost)):
+                        # segment snapshots never replay the backlog: only
+                        # the full pose-graph sweep above carries the
+                        # global correction into the live window
+                        self.apply_full_ba_result(aux, p_opt,
+                                                  backlog=i1 >= n_nodes)
+                        cost += float(seg_cost)
+                    else:
+                        import logging
+
+                        logging.warning(
+                            "final BA: segment [%d,%d) sweep %d diverged "
+                            "(cost %s); writeback skipped", i0, i1,
+                            sweep + 1, seg_cost,
+                        )
+                    if stage_cb is not None:
+                        stage_cb(f"seg{sweep + 1}[{i0}:{i1})")
                 if i1 >= n_nodes:
                     break
                 i0 += step

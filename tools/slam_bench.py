@@ -98,10 +98,11 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
         # off a background prefetch thread — the steady frame path never
         # blocks on the ~30 ms-per-round-trip remote device
         deferred_frontend=True,
-        # two cycles in flight: the device stays busy while the host
-        # consumes the previous frame (association sees a 2-frame-stale
-        # map; the reprojection dedup reconciles duplicate landmarks)
-        pipeline_depth=2,
+        # depth 1: measured depth 2 on this runtime is a strict loss —
+        # the host-side consume is the serialisation point, association
+        # degrades against the 2-frame-stale map, and loop-closure
+        # surgery interacts badly with two in-flight cycles
+        pipeline_depth=1,
     )
     cam = ds.camera if hasattr(ds, "camera") else None
     # the synthetic dataset ships its intrinsics via sensor.yaml; EuRoC
@@ -175,8 +176,16 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
     Ts = np.stack([s[1] for s in vio.states_log])
     ate_online = trajectory_io.ate_rmse(ts, Ts[:, :3], gt[:, 0], gt[:, 1:4])
 
+    def _stage_ate(tag):
+        if not verbose:
+            return
+        sts, sTs = vio.est.full_trajectory()
+        a = trajectory_io.ate_rmse(sts, sTs[:, :3], gt[:, 0], gt[:, 1:4])
+        print(f"final BA stage {tag}: ATE {a:.4f} m", file=sys.stderr,
+              flush=True)
+
     t_fba0 = time.perf_counter()
-    vio.est.final_ba()
+    vio.est.final_ba(stage_cb=_stage_ate if verbose else None)
     fts, fTs = vio.est.full_trajectory()
     t_fba = time.perf_counter() - t_fba0
     ate_final = trajectory_io.ate_rmse(fts, fTs[:, :3], gt[:, 0], gt[:, 1:4])
