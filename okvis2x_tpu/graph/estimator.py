@@ -2589,7 +2589,11 @@ class SlidingWindowEstimator:
             # matrix-free LM-PCG like the background optimiser does.
             snap = self.snapshot_pose_graph()
             if snap is not None:
-                if snap["T"].shape[0] > 256:
+                # dense up to 768 nodes: (6*768)^2 normal equations are
+                # only ~85 MB and the direct solve closes long loops the
+                # block-Jacobi PCG underconverges on (measured: final ATE
+                # stuck at 1.4 m on the 547-node / 15-closure circuit)
+                if snap["T"].shape[0] > 768:
                     from okvis2x_tpu.parallel import dist_posegraph
 
                     T_opt, _ = dist_posegraph.optimize_pose_graph_pcg(

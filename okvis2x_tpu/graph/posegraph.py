@@ -70,13 +70,17 @@ def optimize_pose_graph(
     K0 = T_WS.shape[0]
     R0 = len(edges_i)
 
-    # pow2 capacity buckets: one compiled program serves every pose-graph
-    # size in the bucket (an unbucketed K would recompile on every
-    # background dispatch as keyframes accumulate)
+    # capacity buckets: one compiled program serves every pose-graph size
+    # in the bucket (an unbucketed K would recompile on every background
+    # dispatch as keyframes accumulate).  Pow2 below 128, multiples of 128
+    # above — the dense (6K)^2 solve grows quadratically, so pow2 padding
+    # at 547 nodes would nearly double the program for nothing.
     def _bucket(n, base):
         c = base
-        while c < n:
+        while c < n and c < 128:
             c *= 2
+        if c < n:
+            c = ((n + 127) // 128) * 128
         return c
 
     K = _bucket(K0, 16)

@@ -174,7 +174,7 @@ def optimize_pose_graph_pcg(
     edges_sqrt_info: np.ndarray,  # (E, 6, 6)
     edges_valid: Optional[np.ndarray] = None,
     iterations: int = 10,
-    cg_iterations: int = 64,
+    cg_iterations: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     dtype=jnp.float64,
     init_lambda: float = 1e-6,
@@ -210,6 +210,13 @@ def optimize_pose_graph_pcg(
         return c
 
     Kp = _bucket(K0, 64)
+    if cg_iterations is None:
+        # block-Jacobi PCG propagates a correction ~1 node per iteration
+        # along a chain: long-range loop-closure corrections need O(K)
+        # iterations or they underconverge (measured: 17x the dense
+        # solver's residual error at K=154 with 64 iterations).  Tied to
+        # the K bucket so the compiled-program count stays bounded.
+        cg_iterations = max(128, Kp)
     if Kp > K0:
         T_WS = np.concatenate([np.asarray(T_WS), np.tile(id7, (Kp - K0, 1))])
         fixed = np.concatenate([np.asarray(fixed, bool),
