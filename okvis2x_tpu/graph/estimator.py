@@ -822,6 +822,8 @@ class SlidingWindowEstimator:
             live = f_ok & l_ok
         else:
             live = np.zeros((0,), bool)
+            obs_slot_all = np.zeros((0,), np.int64)
+            obs_row_all = np.zeros((0,), np.int64)
         obs_src = np.nonzero(live)[0]  # problem row -> host obs index
         obs_src_uids = None
         if len(obs_src) > Ncap:
@@ -2589,11 +2591,12 @@ class SlidingWindowEstimator:
             # matrix-free LM-PCG like the background optimiser does.
             snap = self.snapshot_pose_graph()
             if snap is not None:
-                # dense up to 768 nodes: (6*768)^2 normal equations are
-                # only ~85 MB and the direct solve closes long loops the
-                # block-Jacobi PCG underconverges on (measured: final ATE
-                # stuck at 1.4 m on the 547-node / 15-closure circuit)
-                if snap["T"].shape[0] > 768:
+                # dense only up to 256 nodes: the (6K)^2 f32 Cholesky is
+                # numerically unusable beyond that (measured: 547-node
+                # dense solve exploded the final ATE to 1 km).  The PCG
+                # path closes long loops once cg_iterations scales with K
+                # (block-Jacobi propagates ~1 node/iteration).
+                if snap["T"].shape[0] > 256:
                     from okvis2x_tpu.parallel import dist_posegraph
 
                     T_opt, _ = dist_posegraph.optimize_pose_graph_pcg(

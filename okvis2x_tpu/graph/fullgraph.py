@@ -38,7 +38,7 @@ class FullGraphOptimizer:
     """One in-flight background pose-graph optimisation at a time."""
 
     def __init__(self, iterations: int = 15, dtype=jnp.float64,
-                 pcg_threshold: int = 768, mesh=None,
+                 pcg_threshold: int = 256, mesh=None,
                  full_ba_threshold: int = 64):
         """`pcg_threshold`: above this many keyframes the dense (6K)^2
         normal-equation solve is replaced by the matrix-free edge-sharded

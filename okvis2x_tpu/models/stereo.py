@@ -162,14 +162,18 @@ _NET = {}  # max_disp -> (net, params, meta); False when no artifact exists
 
 def _trained_net(max_disp: int = 64):
     """Lazy-load the trained StereoNet artifact shipped under resources/
-    (tools/train_stereo.py), built at the CALLER's disparity range;
-    caches the miss so the check is one stat."""
+    (tools/train_stereo.py); caches the miss so the check is one stat.
+    The cost-volume width is baked into the trained kernels, so the
+    artifact only serves callers whose disparity range matches its
+    trained range (meta max_disp, default 64) — anything else falls back
+    to census rather than applying mismatched parameters."""
     global _NET
     if max_disp not in _NET:
         from okvis2x_tpu.models import stereo_net
 
         params, meta = stereo_net.load_params()
-        if params is None:
+        trained_disp = int(meta.get("max_disp", 64)) if meta else 64
+        if params is None or max_disp != trained_disp:
             _NET[max_disp] = False
         else:
             _NET[max_disp] = (

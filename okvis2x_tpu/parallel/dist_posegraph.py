@@ -237,7 +237,7 @@ def optimize_pose_graph_pcg(
         if pad:
             ei = np.concatenate([ei, np.zeros(pad, np.int32)])
             ej = np.concatenate([ej, np.zeros(pad, np.int32)])
-            id7 = np.asarray(se3.se3_identity(jnp.float64))
+            id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
             eT = np.concatenate([eT, np.tile(id7, (pad, 1))])
             eS = np.concatenate([eS, np.zeros((pad, 6, 6))])
             ev = np.concatenate([ev, np.zeros(pad, bool)])

@@ -607,8 +607,10 @@ class VioPipeline:
                 # COMPACT f32 output (the fetch RTT scales with payload):
                 # map matches as one row-per-keypoint table (-1 invalid),
                 # stereo/motion initialisations compacted to the first
-                # ASSOC_CAP accepted rows (indices exact in f32)
-                S = ASSOC_CAP
+                # ASSOC_CAP accepted rows (indices exact in f32).  With
+                # fewer keypoints than the cap, argsort can only produce N
+                # rows — min() keeps producer and consumer layouts equal.
+                S = min(ASSOC_CAP, N)
                 mr = jnp.where(
                     jnp.stack(map_ok),
                     jnp.stack(map_rows).astype(f32), f32(-1.0),
@@ -801,7 +803,7 @@ class VioPipeline:
         nl, lids, kf_fid = st["nl"], st["lids"], st["kf_fid"]
         N = self.cfg.max_keypoints
         C = self.num_cams
-        S = ASSOC_CAP
+        S = min(ASSOC_CAP, N)  # matches the program's compact-block size
         o = 0
         map_rows = flts[o:o + C * N].reshape(C, N).astype(np.int64)
         o += C * N
