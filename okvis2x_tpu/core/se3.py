@@ -170,7 +170,12 @@ PARAM_DIM = 7
 
 
 def se3_identity(dtype=jnp.float32) -> jax.Array:
-    return jnp.array([0, 0, 0, 0, 0, 0, 1], dtype=dtype)
+    # precision is a PARAMETER: a float64 request on an x64-disabled
+    # backend resolves to the best available dtype once and silently,
+    # instead of warning at every call site
+    return jnp.array(
+        [0, 0, 0, 0, 0, 0, 1], dtype=jax.dtypes.canonicalize_dtype(dtype)
+    )
 
 
 def se3_from_tq(t: jax.Array, q: jax.Array) -> jax.Array:

@@ -87,6 +87,12 @@ class EstimatorConfig:
     # up when there is slack.  0 disables adaptation.
     realtime_time_limit: float = 0.0
     min_iterations: int = 3
+    # early exit on convergence inside the compiled realtime LM loop
+    # (gauss_newton.SolverConfig.early_exit_rel): > 0 lets the device skip
+    # iterations whose relative cost decrease fell below the tolerance —
+    # the budget controller's complement that trims only CONVERGED
+    # iterations (no accuracy cliff, unlike hard iteration buckets)
+    early_exit_rel: float = 0.0
     imu: pre.ImuParams = pre.ImuParams()
     dtype: object = jnp.float64
     # online extrinsics calibration (≙ CameraParameters::
@@ -1064,7 +1070,7 @@ class SlidingWindowEstimator:
                      use_depth: bool = False, use_icp: bool = False,
                      gated: bool = False, gate_iters2: int = 2):
         key = ("opt", rcap, iters, pose_only, use_depth, use_icp, gated,
-               gate_iters2)
+               gate_iters2, self.cfg.early_exit_rel)
         if key not in self._jit_cache:
             cfg = gn.SolverConfig(
                 max_iterations=iters,
@@ -1077,6 +1083,7 @@ class SlidingWindowEstimator:
                 # fixed sequencer sync); rolled loop on CPU test hosts where
                 # compile time dominates
                 unroll=(jax.default_backend() != "cpu"),
+                early_exit_rel=self.cfg.early_exit_rel,
             )
             imu_params = self.cfg.imu
             out_dtype = jax.dtypes.canonicalize_dtype(self.cfg.dtype)
@@ -1190,6 +1197,133 @@ class SlidingWindowEstimator:
             self.T_SC = np.asarray(p_opt.T_SC, np.float64)
         if self.gps_status == "Initialised":
             self.T_GW = np.asarray(p_opt.T_GW)
+
+    def precompile(self, background: bool = True, full_ba: bool = True,
+                   verbose: bool = False):
+        """Force-compile (trace + XLA compile/cache-load + one execution)
+        every device program the realtime, loop-closure and background
+        full-graph paths can dispatch, so NONE of them compiles mid-run in
+        front of the realtime queue (≙ the reference's realtime thread
+        never stalling on loop closure, ThreadedSlam.cpp:949-960 — here
+        the hazard is XLA compilation, measured at 10-80 s per program on
+        the remote backend, 1-5 s on a warm persistent cache).
+
+        Call once at pipeline init; all dummy invocations use empty
+        (all-invalid) problems, so no estimator state is touched."""
+        import time as _time
+
+        from okvis2x_tpu.solver import problem as prb
+
+        t_start = _time.perf_counter()
+        cfg = self.cfg
+
+        def _log(tag, t0):
+            if verbose:
+                logging.info("precompile %s: %.1f s", tag,
+                             _time.perf_counter() - t0)
+
+        # 1. realtime gated window solve (all iteration buckets the budget
+        # controller can request) + the non-gated solve the sync
+        # loop-closure path dispatches
+        if "empty_p" not in self._jit_cache:
+            self._jit_cache["empty_p"] = prb.empty_problem(
+                K=cfg.cap_frames, L=cfg.cap_landmarks, C=self.C,
+                N=cfg.cap_obs, M=cfg.cap_imu_links, R=cfg.cap_rel_edges,
+                G=cfg.cap_gps, Q=cfg.cap_icp, dtype=cfg.dtype,
+            )
+        p0 = self._jit_cache["empty_p"]
+        npdt = np.dtype(jax.dtypes.canonicalize_dtype(cfg.dtype))
+        cvt = lambda x: np.asarray(x, npdt)  # noqa: E731
+        pre_b, W_b = self._stack_links([], cfg.cap_imu_links)
+        p0 = p0._replace(imu_pre=jax.tree.map(cvt, pre_b),
+                         imu_sqrt_info=cvt(W_b))
+        if self.gps_status == "Off":
+            # mirror _build_problem exactly: GNSS-free runs shrink the GPS
+            # factor family to zero rows (a G=cap_gps dummy would compile
+            # a DIFFERENT program than the one the frame loop dispatches)
+            p0 = p0._replace(
+                gps_frame=np.zeros(0, np.int32),
+                gps_p_G=np.zeros((0, 3), npdt),
+                gps_sqrt_info=np.zeros((0, 3, 3), npdt),
+                gps_valid=np.zeros(0, bool),
+            )
+        rcap = int(p0.rel_valid.shape[0])
+        iters_set = {cfg.max_iterations}
+        if cfg.realtime_time_limit:
+            iters_set |= {cfg.min_iterations,
+                          (cfg.min_iterations + cfg.max_iterations) // 2}
+        for iters in sorted(iters_set):
+            t0 = _time.perf_counter()
+            run = self._optimize_fn(rcap, iters, False, False, False,
+                                    gated=True, gate_iters2=2)
+            _p, packed = run(p0, self.cams, None, np.int32(-1),
+                             np.float32(1e9))
+            jax.block_until_ready(packed)
+            _log(f"gated solve x{iters}", t0)
+        t0 = _time.perf_counter()
+        run = self._optimize_fn(rcap, cfg.max_iterations, False, False,
+                                False)
+        _p, cost = run(p0, self.cams, None)
+        jax.block_until_ready(cost)
+        _log("lc solve", t0)
+
+        # 2. marginalisation two-pose edge program (fixed B=3 caps)
+        t0 = _time.perf_counter()
+        tpe = self._two_pose_edge_fn(3, 512, 128)
+        id7 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], npdt), (3, 1))
+        out = tpe(
+            id7, id7, np.asarray(self.T_SC, npdt),
+            np.tile(np.array([0, 0, 0, 1], npdt), (3, 128, 1)),
+            np.zeros((3, 128), bool), np.zeros((3, 512), np.int32),
+            np.zeros((3, 512), np.int32), np.zeros((3, 512), np.int32),
+            np.zeros((3, 512, 2), npdt), np.ones((3, 512), npdt),
+            np.zeros((3, 512), bool),
+        )
+        jax.block_until_ready(out)
+        _log("two-pose edges", t0)
+
+        if not background:
+            return _time.perf_counter() - t_start
+
+        # 3. background full BA at the PINNED caps (one program serves the
+        # whole <= full_ba_threshold early session) — preint program first
+        # (its (M, S) shape is what the pinned snapshot dispatches).
+        # Skipped when the dispatcher's threshold is 0 (pose-graph-only
+        # background, the default).
+        if not full_ba:
+            t0 = _time.perf_counter()
+            from okvis2x_tpu.graph import posegraph
+
+            posegraph.precompile(iterations=15, dtype=cfg.dtype)
+            _log("pose graph dense", t0)
+            return _time.perf_counter() - t_start
+        t0 = _time.perf_counter()
+        K, L, N, R, M = self.FULL_BA_PIN
+        empty_imu = (np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)))
+        imu_pre, imu_si = self._preintegrate_batch(
+            [], M, S=1024, imu_arrays=empty_imu)
+        pf = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=M, R=R,
+                               dtype=cfg.dtype)
+        pf = pf._replace(imu_pre=imu_pre, imu_sqrt_info=imu_si)
+        aux = dict(caps=(K, L, N, R, M),
+                   do_ext=cfg.do_extrinsics_final_ba)
+        if aux["do_ext"]:
+            pf = pf._replace(
+                ext_fixed=jnp.zeros((self.C,), bool),
+                ext_prior_valid=jnp.ones((self.C,), bool),
+            )
+        run = self._full_ba_run_fn(aux, 15)
+        p_opt, cost = run(pf, self.cams)
+        jax.block_until_ready(cost)
+        _log("full BA (pinned)", t0)
+
+        # 4. dense background pose-graph programs (both pinned K buckets)
+        t0 = _time.perf_counter()
+        from okvis2x_tpu.graph import posegraph
+
+        posegraph.precompile(iterations=15, dtype=cfg.dtype)
+        _log("pose graph dense", t0)
+        return _time.perf_counter() - t_start
 
     def optimise(self, iterations: Optional[int] = None, pose_only: bool = False):
         """Run the window solver and write results back to host state."""
@@ -2225,7 +2359,7 @@ class SlidingWindowEstimator:
 
     # --------------------------------------------------------------- final BA
     def _full_problem(self, use_imu: bool, node_slice=None,
-                      fix_margin: int = 0):
+                      fix_margin: int = 0, pin_caps=None):
         """Assemble the complete-history BA problem: archived + live
         observations re-expanded, marginalisation two-pose edges dropped
         (their information returns as the raw observations), loop/alignment
@@ -2353,11 +2487,18 @@ class SlidingWindowEstimator:
                 c *= 2
             return c
 
-        K = bucket(nf, 16)
-        L = bucket(nl, 64)
-        N = bucket(n_obs, 256)
-        R = bucket(len(all_edges), 16)
-        M = bucket(len(imu_links), 8) if imu_links else 1
+        # pin_caps=(K, L, N, R, M): ONE compiled program for every problem
+        # whose content fits the pins (the background full-BA path pins at
+        # its dispatch-threshold sizes, so a growing early-session history
+        # does not recompile on every pow2 boundary mid-run); content
+        # exceeding a pin falls back to the pow2 bucket for that dim.
+        pK, pL, pN, pR, pM = pin_caps or (0, 0, 0, 0, 0)
+        K = pK if nf <= pK else bucket(nf, 16)
+        L = pL if nl <= pL else bucket(nl, 64)
+        N = pN if n_obs <= pN else bucket(n_obs, 256)
+        R = pR if len(all_edges) <= pR else bucket(len(all_edges), 16)
+        M = (pM if imu_links and len(imu_links) <= pM else
+             (bucket(len(imu_links), 8) if imu_links else 1))
         dtype = jax.dtypes.canonicalize_dtype(self.cfg.dtype)
 
         p = prb.empty_problem(K=K, L=L, C=self.C, N=N, M=M, R=R, dtype=dtype)
@@ -2433,7 +2574,10 @@ class SlidingWindowEstimator:
                 imu_j[m] = sb_
                 imu_valid[m] = True
                 spans.append(span)
-            S_cap = 128
+            # pinned runs jump straight to 1024 samples/span so the preint
+            # program compiles once (keyframe gaps grow smoothly; an
+            # unpinned S would recompile at every pow2 boundary)
+            S_cap = 1024 if (pin_caps and S_final <= 1024) else 128
             while S_cap < S_final:
                 S_cap *= 2
             imu_pre, imu_si = self._preintegrate_batch(
@@ -2531,13 +2675,20 @@ class SlidingWindowEstimator:
             self.T_SC = np.asarray(p_opt.T_SC, np.float64)
         return True
 
-    def snapshot_full_ba(self, iterations: int = 15):
+    # pinned capacities for the BACKGROUND full BA (sized to the
+    # dispatcher's full_ba_threshold of 64 nodes): one compiled program
+    # serves the whole early-session growth instead of recompiling at
+    # every pow2 content boundary mid-run
+    FULL_BA_PIN = (64, 4096, 16384, 128, 64)
+
+    def snapshot_full_ba(self, iterations: int = 15, pin: bool = True):
         """Snapshot the complete-history BA (observations + re-propagated
         IMU + kept edges) for the background full-graph optimiser: returns
         dict(problem, run, aux) — `run` is the jitted solver, safe to call
         from a worker thread (JAX dispatch is thread-safe), created here so
         the compile cache lives with the estimator."""
-        out = self._full_problem(use_imu=True)
+        out = self._full_problem(
+            use_imu=True, pin_caps=self.FULL_BA_PIN if pin else None)
         if out is None:
             return None
         p, aux = out
@@ -2633,9 +2784,11 @@ class SlidingWindowEstimator:
                     run = self._full_ba_run_fn(aux, iterations)
                     p_opt, seg_cost = run(p, self.cams)
                     if np.isfinite(float(seg_cost)):
-                        # segment snapshots never replay the backlog: only
-                        # the full pose-graph sweep above carries the
-                        # global correction into the live window
+                        # only the FINAL segment (newest history, covering
+                        # the live window) replays the backlog; earlier
+                        # segments write node poses only — a mid-history
+                        # segment rigidly re-anchoring the live window
+                        # would corrupt it (see apply_pose_graph_result)
                         self.apply_full_ba_result(aux, p_opt,
                                                   backlog=i1 >= n_nodes)
                         cost += float(seg_cost)

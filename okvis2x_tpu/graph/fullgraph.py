@@ -137,7 +137,8 @@ class FullGraphOptimizer:
 
         def work():
             try:
-                if snap["T"].shape[0] > self.pcg_threshold:
+                K0 = snap["T"].shape[0]
+                if K0 > self.pcg_threshold:
                     from okvis2x_tpu.parallel import dist_posegraph
 
                     T_opt, cost = dist_posegraph.optimize_pose_graph_pcg(
@@ -162,6 +163,27 @@ class FullGraphOptimizer:
             with self._lock:
                 self._result = T_opt
                 self._cost = float(cost)
+            # PREDICTIVE program warming: when the growing graph nears the
+            # next capacity bucket (the PCG switchover, or a PCG pow2
+            # boundary), compile that program NOW — on this idle worker,
+            # while the result above already waits for synchronise() — so
+            # the bucket-crossing dispatch never compiles in front of the
+            # realtime queue
+            try:
+                from okvis2x_tpu.parallel import dist_posegraph
+
+                if K0 > self.pcg_threshold:
+                    Kp = dist_posegraph._bucket_of(K0, 64)
+                    if K0 > 0.75 * Kp:
+                        dist_posegraph.precompile(
+                            Kp + 1, iterations=self.iterations,
+                            mesh=self.mesh, dtype=self.dtype)
+                elif K0 > 0.75 * self.pcg_threshold:
+                    dist_posegraph.precompile(
+                        self.pcg_threshold + 1, iterations=self.iterations,
+                        mesh=self.mesh, dtype=self.dtype)
+            except Exception:  # noqa: BLE001 — warming is best-effort
+                pass
 
         self._thread = threading.Thread(
             target=work, name="full-graph-optimisation", daemon=True

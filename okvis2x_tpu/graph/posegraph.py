@@ -13,6 +13,7 @@ Host-side graph structure (cheap, dynamic) + device solve:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -70,21 +71,15 @@ def optimize_pose_graph(
     K0 = T_WS.shape[0]
     R0 = len(edges_i)
 
-    # capacity buckets: one compiled program serves every pose-graph size
-    # in the bucket (an unbucketed K would recompile on every background
-    # dispatch as keyframes accumulate).  Pow2 below 128, multiples of 128
-    # above — the dense (6K)^2 solve grows quadratically, so pow2 padding
-    # at 547 nodes would nearly double the program for nothing.
-    def _bucket(n, base):
-        c = base
-        while c < n and c < 128:
-            c *= 2
-        if c < n:
-            c = ((n + 127) // 128) * 128
-        return c
-
-    K = _bucket(K0, 16)
-    R = _bucket(R0, 16)
+    # TWO pinned capacity buckets (K=64 and K=256) serve every graph this
+    # dense path accepts (callers switch to the matrix-free PCG solver
+    # above 256 nodes): a growing pose graph crosses at most ONE bucket
+    # boundary over a whole session, so at most one background compile can
+    # land mid-run — and precompile() covers both up front.  The (6K)^2
+    # dense solve at K=256 is still tiny for the MXU, so padding 70 nodes
+    # to 256 costs microseconds, not a recompile.
+    K = 64 if K0 <= 64 else 256 * ((K0 + 255) // 256)
+    R = 2 * K if R0 <= 2 * K else 256 * ((R0 + 255) // 256)
     id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
     T_full = np.concatenate([np.asarray(T_WS), np.tile(id7, (K - K0, 1))])
     fix_full = np.concatenate([np.asarray(fixed, bool), np.ones(K - K0, bool)])
@@ -100,7 +95,7 @@ def optimize_pose_graph(
     eT[:R0] = edges_T
     eS[:R0] = edges_sqrt_info
     rv[:R0] = True
-    p = prb.empty_problem(K=K, L=1, C=1, N=1, M=1, R=R, dtype=dtype)
+    p = _empty_template(K, R, dtype)
     p = p._replace(
         T_WS=jnp.asarray(T_full, dtype),
         frame_valid=jnp.asarray(valid_full),
@@ -112,11 +107,57 @@ def optimize_pose_graph(
         rel_sqrt_info=jnp.asarray(eS, dtype),
         rel_valid=jnp.asarray(rv),
     )
+    cams = _dummy_cams(dtype)
+    run = _solver_fn(iterations)
+    p_opt, cost = run(p, cams)
+    return np.asarray(p_opt.T_WS)[:K0], float(cost)
+
+
+@functools.lru_cache(maxsize=16)
+def _empty_template(K: int, R: int, dtype):
+    """Immutable per-bucket problem template: empty_problem materialises
+    ~50 device arrays eagerly, each a separate dispatch RPC on the remote
+    runtime — recreating them on every background dispatch put dozens of
+    tiny executions in front of the realtime queue for nothing."""
+    return prb.empty_problem(K=K, L=1, C=1, N=1, M=1, R=R, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=4)
+def _dummy_cams(dtype):
     # dummy camera (no observations are valid)
     from okvis2x_tpu.cameras import pinhole
 
-    cam = pinhole.make_pinhole(1.0, 1.0, 0.0, 0.0, 2, 2, model="none", dtype=dtype)
-    cams = gn.stack_cameras([cam])
+    cam = pinhole.make_pinhole(
+        1.0, 1.0, 0.0, 0.0, 2, 2, model="none", dtype=dtype
+    )
+    return gn.stack_cameras([cam])
+
+
+@functools.lru_cache(maxsize=64)
+def _solver_fn(iterations: int):
+    """ONE jitted program per (iterations, shape-bucket) — the background
+    optimiser dispatches this from a worker thread every few keyframes, so
+    a per-call `jax.jit` wrapper (empty trace cache) would re-trace the
+    whole LM loop on every dispatch and stall the realtime device queue
+    behind the compile."""
+    import jax
+
     cfg = gn.SolverConfig(max_iterations=iterations, estimate_landmarks=False)
-    p_opt, cost = gn.optimize(p, cams, cfg)
-    return np.asarray(p_opt.T_WS)[:K0], float(cost)
+    return jax.jit(lambda p, cams: gn.optimize(p, cams, cfg))
+
+
+def precompile(iterations: int = 15, dtype=jnp.float64,
+               buckets: Sequence[int] = (64, 256)):
+    """Force-compile (and execute once) the dense pose-graph program for
+    each pinned K bucket, so the first mid-run background dispatch finds a
+    warm trace + executable instead of stalling the realtime device queue
+    behind a compile."""
+    id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    for K in buckets:
+        T = np.tile(id7, (K, 1))
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        optimize_pose_graph(
+            T, fixed, np.array([0]), np.array([1]), id7[None],
+            np.eye(6)[None], iterations=iterations, dtype=dtype,
+        )

@@ -154,6 +154,275 @@ def make_circuit_scene(radius=8.0, density=22.0, seed=3, z_lo=3.5, z_hi=6.5,
     return pts, brightness, rad
 
 
+# ---------------------------------------------------------------------------
+# Textured validation world (scene_version 3)
+#
+# The dot-field renderer above provides ideal, isolated corners — the best
+# case for any frontend.  Real benchmark imagery (EuRoC / Hilti / VBR, which
+# this container cannot fetch) is hard for the OPPOSITE reasons: texture
+# lives on continuous surfaces, geometry occludes, lighting drifts across a
+# run, and dynamic objects (people, clouds) offer well-textured but
+# geometrically WRONG correspondences.  `make_textured_world` +
+# `render_textured` reproduce those failure modes: procedurally textured
+# panels with z-buffer occlusion, a bright drifting cloud sky, moving
+# textured distractor clusters, and global illumination drift — plus a
+# per-pixel class map (static / sky / distractor) that supervises the
+# fast-scnn keypoint classifier (≙ the robustness machinery the reference
+# carries at okvis_frontend/src/Frontend.cpp:204-256 and the keypoint
+# classification at okvis_cv/src/Frame.cpp:33-128).
+# ---------------------------------------------------------------------------
+
+CLASS_STATIC = 0
+CLASS_SKY = 1
+CLASS_DISTRACTOR = 2
+
+
+def _hash01(i, j, seed):
+    """Deterministic [0,1) lattice hash (vectorised)."""
+    x = np.sin(i * 127.1 + j * 311.7 + seed * 74.7) * 43758.5453
+    return x - np.floor(x)
+
+
+def _value_noise(u, v, seed, octaves=3, base_scale=1.6):
+    """Multi-octave bilinear value noise at plane-local coords (u, v)."""
+    out = np.zeros_like(u)
+    amp = 1.0
+    tot = 0.0
+    s = base_scale
+    for o in range(octaves):
+        uu, vv = u * s, v * s
+        i0, j0 = np.floor(uu), np.floor(vv)
+        fu, fv = uu - i0, vv - j0
+        fu = fu * fu * (3 - 2 * fu)
+        fv = fv * fv * (3 - 2 * fv)
+        n00 = _hash01(i0, j0, seed + o)
+        n10 = _hash01(i0 + 1, j0, seed + o)
+        n01 = _hash01(i0, j0 + 1, seed + o)
+        n11 = _hash01(i0 + 1, j0 + 1, seed + o)
+        out = out + amp * (
+            n00 * (1 - fu) * (1 - fv) + n10 * fu * (1 - fv)
+            + n01 * (1 - fu) * fv + n11 * fu * fv
+        )
+        tot += amp
+        amp *= 0.55
+        s *= 2.1
+    return out / tot
+
+
+def make_textured_world(radius=8.0, seed=3, density=14.0, n_panels=16,
+                        n_distractors=5, n_clouds=7, half_width=4.5,
+                        z_lo=3.5, z_hi=6.5):
+    """World for the circuit trajectory: dot ceiling (sparser than v2) +
+    textured ceiling panels + moving distractor clusters + drifting clouds.
+    Returns a dict consumed by `render_textured`."""
+    rng = np.random.default_rng(seed)
+    pts, bright, rad = make_circuit_scene(
+        radius=radius, density=density, seed=seed, z_lo=z_lo, z_hi=z_hi,
+        half_width=half_width, sectors=6)
+
+    panels = []
+    for k in range(n_panels):
+        th = 2 * np.pi * k / n_panels + rng.uniform(-0.15, 0.15)
+        rr = rng.uniform(radius - 2.5, radius + 2.5)
+        origin = np.array([
+            rr * np.cos(th), rr * np.sin(th), rng.uniform(z_lo - 0.6, z_hi)
+        ])
+        # ceiling-facing panels, tilted a little
+        n_vec = np.array([rng.uniform(-0.25, 0.25),
+                          rng.uniform(-0.25, 0.25), -1.0])
+        n_vec /= np.linalg.norm(n_vec)
+        eu = np.cross(n_vec, [0.0, 0.0, 1.0])
+        if np.linalg.norm(eu) < 1e-6:
+            eu = np.array([1.0, 0.0, 0.0])
+        eu /= np.linalg.norm(eu)
+        ev = np.cross(n_vec, eu)
+        panels.append(dict(
+            origin=origin, normal=n_vec, eu=eu, ev=ev,
+            half_u=rng.uniform(1.2, 2.6), half_v=rng.uniform(1.0, 2.2),
+            tex_seed=float(k * 13 + seed), albedo=rng.uniform(0.45, 0.85),
+        ))
+
+    distractors = []
+    for k in range(n_distractors):
+        th = rng.uniform(0, 2 * np.pi)
+        rr = rng.uniform(radius - 2.0, radius + 2.0)
+        m = rng.integers(6, 14)
+        local = rng.uniform(-0.5, 0.5, (m, 3)) * np.array([1.0, 1.0, 0.3])
+        distractors.append(dict(
+            center0=np.array([rr * np.cos(th), rr * np.sin(th),
+                              rng.uniform(z_lo - 1.0, z_lo + 0.5)]),
+            # slow smooth wander: amplitude ~1-2 m over tens of seconds —
+            # consistent enough to match frame-to-frame, wrong geometrically
+            amp=rng.uniform(0.8, 2.0, 3) * np.array([1, 1, 0.3]),
+            omega=rng.uniform(0.05, 0.16, 3) * 2 * np.pi,
+            phase=rng.uniform(0, 2 * np.pi, 3),
+            pts_local=local,
+            bright=rng.uniform(0.5, 1.0, m),
+            rad=rng.uniform(1.0, 2.0, m),
+        ))
+
+    clouds = []
+    for k in range(n_clouds):
+        d = rng.normal(0, 1, 3)
+        d[2] = abs(d[2]) + 1.0  # up
+        clouds.append(dict(
+            dir0=d / np.linalg.norm(d),
+            drift=rng.uniform(-0.012, 0.012, 3),  # direction drift [1/s]
+            width=rng.uniform(0.08, 0.2),
+            gain=rng.uniform(0.12, 0.3),
+        ))
+    return dict(pts=pts, bright=bright, rad=rad, panels=panels,
+                distractors=distractors, clouds=clouds, seed=seed)
+
+
+_RAY_CACHE = {}
+
+
+def _pixel_rays(cam_np):
+    """Cached (H, W, 3) unit ray grid in the camera frame (undistorted)."""
+    from okvis2x_tpu.cameras import pinhole_np
+
+    key = (cam_np.width, cam_np.height, cam_np.model,
+           tuple(np.asarray(cam_np.fxfycxcy).tolist()),
+           tuple(np.asarray(cam_np.dist_params).tolist()))
+    if key not in _RAY_CACHE:
+        H, W = cam_np.height, cam_np.width
+        ys, xs = np.mgrid[0:H, 0:W]
+        uv = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float64)
+        ray, _ = pinhole_np.back_project(cam_np, uv)
+        ray = ray / np.linalg.norm(ray, axis=-1, keepdims=True)
+        _RAY_CACHE[key] = ray.reshape(H, W, 3)
+    return _RAY_CACHE[key]
+
+
+def distractor_positions(world, t):
+    """World-frame positions of every distractor dot at time t; returns
+    (pts (n,3), bright (n,), rad (n,))."""
+    ps, bs, rs = [], [], []
+    for d in world["distractors"]:
+        c = d["center0"] + d["amp"] * np.sin(d["omega"] * t + d["phase"])
+        ps.append(c[None] + d["pts_local"])
+        bs.append(d["bright"])
+        rs.append(d["rad"])
+    if not ps:
+        return np.zeros((0, 3)), np.zeros(0), np.zeros(0)
+    return np.concatenate(ps), np.concatenate(bs), np.concatenate(rs)
+
+
+def _splat(img, depth_z, cls, cam_np, T_WC, pts, bright, rad, cls_id,
+           zbuf=None):
+    """Splat dots with z-buffer occlusion against `zbuf` (panel depths)."""
+    from okvis2x_tpu.cameras import pinhole_np
+    from okvis2x_tpu.core import se3np
+
+    H, W = cam_np.height, cam_np.width
+    if len(pts) == 0:
+        return
+    T_CW = se3np.se3_inverse(np.asarray(T_WC, np.float64))
+    p_C = se3np.se3_apply(T_CW, np.asarray(pts, np.float64))
+    uv, valid = pinhole_np.project(cam_np, p_C)
+    valid = valid & (p_C[:, 2] > 0.3)
+    r = 4
+    cx = np.round(uv[:, 0]).astype(np.int64)
+    cy = np.round(uv[:, 1]).astype(np.int64)
+    sel = np.nonzero(
+        valid & (cx >= r) & (cx < W - r) & (cy >= r) & (cy < H - r)
+    )[0]
+    if zbuf is not None and len(sel):
+        # occlusion: dot hidden where a panel is nearer at its centre pixel
+        vis = p_C[sel, 2] < zbuf[cy[sel], cx[sel]] + 0.05
+        sel = sel[vis]
+    if len(sel) == 0:
+        return
+    d = np.arange(-r, r + 1)
+    sig = (np.asarray(rad)[sel] * 0.8)[:, None]
+    ys = cy[sel, None] + d
+    xs = cx[sel, None] + d
+    gy = np.exp(-0.5 * ((ys - uv[sel, 1:2]) / sig) ** 2)
+    gx = np.exp(-0.5 * ((xs - uv[sel, 0:1]) / sig) ** 2)
+    patch = (np.asarray(bright)[sel, None, None]
+             * gy[:, :, None] * gx[:, None, :]).astype(np.float32)
+    flat = (ys[:, :, None] * W + xs[:, None, :]).ravel()
+    np.add.at(img.reshape(-1), flat, patch.ravel())
+    if cls is not None:
+        strong = patch.ravel() > 0.15
+        cls.reshape(-1)[flat[strong]] = cls_id
+
+
+def render_textured(cam, T_WC, world, t, noise=0.01, seed=0,
+                    with_classes=False):
+    """Render the textured world at time t; returns img (H, W) float32 in
+    [0, 1], or (img, classmap) when with_classes (classmap: CLASS_*)."""
+    from okvis2x_tpu.cameras import pinhole_np
+    from okvis2x_tpu.core import se3np
+
+    cam_np = cam if isinstance(cam, pinhole_np.NpCamera) else \
+        pinhole_np.to_numpy(cam)
+    rng = np.random.default_rng(seed)
+    H, W = cam_np.height, cam_np.width
+    rays_C = _pixel_rays(cam_np)
+    T_WC = np.asarray(T_WC, np.float64)
+    R_WC = se3np.quat_to_matrix(T_WC[3:7])
+    o_W = T_WC[:3]
+    dir_W = rays_C @ R_WC.T  # (H, W, 3)
+
+    # --- sky background: smooth gradient + drifting clouds (bright, low
+    # frequency — their edges ARE detectable and move; sky weighting is
+    # what rejects them)
+    img = (0.55 + 0.18 * dir_W[..., 2]).astype(np.float32)
+    for c in world["clouds"]:
+        d0 = c["dir0"] + c["drift"] * t
+        d0 = d0 / np.linalg.norm(d0)
+        ang2 = np.sum((dir_W - d0) ** 2, axis=-1)
+        img += (c["gain"] * np.exp(-0.5 * ang2 / c["width"] ** 2)
+                ).astype(np.float32)
+    cls = np.full((H, W), CLASS_SKY, np.uint8) if with_classes else None
+    zbuf = np.full((H, W), np.inf, np.float32)
+
+    # --- textured panels with z-buffer
+    for p in world["panels"]:
+        denom = dir_W @ p["normal"]
+        tt = ((p["origin"] - o_W) @ p["normal"]) / np.where(
+            np.abs(denom) > 1e-6, denom, 1e-6)
+        hit = (np.abs(denom) > 1e-6) & (tt > 0.3) & (tt < 60.0)
+        P = o_W + dir_W * tt[..., None]
+        rel = P - p["origin"]
+        u = rel @ p["eu"]
+        v = rel @ p["ev"]
+        inside = hit & (np.abs(u) < p["half_u"]) & (np.abs(v) < p["half_v"])
+        nearer = inside & (tt < zbuf)
+        if not nearer.any():
+            continue
+        uu, vv = u[nearer], v[nearer]
+        tex = _value_noise(uu, vv, p["tex_seed"])
+        shade = p["albedo"] * (0.35 + 0.85 * tex)
+        # soft edge vignette keeps panel borders from being perfect lines
+        edge = (1.0 - 0.5 * np.maximum(
+            np.abs(uu) / p["half_u"], np.abs(vv) / p["half_v"]) ** 6)
+        img[nearer] = (shade * edge).astype(np.float32)
+        zbuf[nearer] = tt[nearer].astype(np.float32)
+        if cls is not None:
+            cls[nearer] = CLASS_STATIC
+
+    # --- static dots (occluded by panels)
+    _splat(img, None, cls, cam_np, T_WC, world["pts"], world["bright"],
+           world["rad"], CLASS_STATIC, zbuf=zbuf)
+    # --- moving distractor clusters
+    dp, db, dr = distractor_positions(world, t)
+    _splat(img, None, cls, cam_np, T_WC, dp, db, dr, CLASS_DISTRACTOR,
+           zbuf=zbuf)
+
+    # --- illumination drift + sensor noise: slow global gain/bias wander
+    gain = 1.0 + 0.14 * np.sin(2 * np.pi * 0.013 * t + 0.8)
+    bias = 0.03 * np.sin(2 * np.pi * 0.021 * t)
+    img = img * gain + bias
+    img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)
+    img = np.clip(img, 0.0, 1.0).astype(np.float32)
+    if with_classes:
+        return img, cls
+    return img
+
+
 def render_image(cam, T_WC, pts, brightness, radius, noise=0.01, seed=0):
     """Splat scene dots into an image (vectorised numpy; gaussian blobs +
     noise).  Uses the numpy camera twin — no device round-trips, so long
@@ -236,6 +505,9 @@ def generate(
     density: float = 22.0,
     progress: bool = False,
     traj_kwargs: dict | None = None,
+    world: str = "dots",
+    world_kwargs: dict | None = None,
+    with_classmap: bool = False,
 ):
     """Write a synthetic stereo-inertial dataset; returns (cam_cfg dict,
     T_SC (2,7), ground truth array [t, p, q]).
@@ -286,7 +558,16 @@ def generate(
             )
 
     # scene + frames
-    if trajectory == "circuit":
+    tex_world = None
+    if world == "textured":
+        # textured panels + moving distractors + cloud sky (occlusion,
+        # lighting drift) — the EuRoC-class validation proxy
+        tex_world = make_textured_world(
+            radius=tk.get("radius", 8.0), seed=seed, density=density,
+            **(world_kwargs or {}))
+        pts, bright, radius = (
+            tex_world["pts"], tex_world["bright"], tex_world["rad"])
+    elif trajectory == "circuit":
         pts, bright, radius = make_circuit_scene(
             radius=tk.get("radius", 8.0),
             density=density, seed=seed,
@@ -299,6 +580,10 @@ def generate(
     from okvis2x_tpu.core import se3np
 
     cam_np = pinhole_np.to_numpy(cam)
+    if with_classmap:
+        os.makedirs(os.path.join(root, "seg0", "data"), exist_ok=True)
+        seg_csv = open(os.path.join(root, "seg0", "data.csv"), "w")
+        seg_csv.write("#timestamp [ns],filename\n")
     for c in range(2):
         os.makedirs(os.path.join(root, f"cam{c}", "data"), exist_ok=True)
         with open(os.path.join(root, f"cam{c}", "data.csv"), "w") as f:
@@ -307,9 +592,23 @@ def generate(
                 ns = t0_ns + int(round(t * 1e9))
                 T_WS = np.concatenate([p[i], q[i]])
                 T_WC = se3np.se3_multiply(T_WS, T_SC[c])
-                img = render_image(
-                    cam_np, T_WC, pts, bright, radius, seed=i * 2 + c
-                )
+                if tex_world is not None:
+                    out = render_textured(
+                        cam_np, T_WC, tex_world, t, seed=i * 2 + c,
+                        with_classes=(with_classmap and c == 0),
+                    )
+                    if with_classmap and c == 0:
+                        img, cmap = out
+                        Image.fromarray(cmap).save(
+                            os.path.join(root, "seg0", "data", f"{ns}.png")
+                        )
+                        seg_csv.write(f"{ns},{ns}.png\n")
+                    else:
+                        img = out
+                else:
+                    img = render_image(
+                        cam_np, T_WC, pts, bright, radius, seed=i * 2 + c
+                    )
                 name = f"{ns}.png"
                 Image.fromarray((img * 255).astype(np.uint8)).save(
                     os.path.join(root, f"cam{c}", "data", name),
@@ -319,6 +618,8 @@ def generate(
                 if progress and i % 200 == 0:
                     print(f"  cam{c}: {i}/{len(t_frames)} frames rendered",
                           flush=True)
+    if with_classmap:
+        seg_csv.close()
 
     # optional cam0-registered depth stream (depth0/, 16-bit PNG millimetres
     # — the extended-EuRoC layout XDatasetReader consumes)

@@ -205,8 +205,38 @@ def init_mvs_net(
     return net, params
 
 
-def load_params(path: str):
-    """Load trained parameters (orbax checkpoint) when available."""
-    import orbax.checkpoint as ocp
+import os
 
-    return ocp.StandardCheckpointer().restore(path)
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "mvs_net.npz"
+)
+
+
+def load_params(path: str = None):
+    """Load trained parameters from the flat npz written by
+    tools/train_mvs.py (keys are '/'-joined tree paths; __meta_* keys carry
+    held-out eval metrics).  Returns (params, meta), or (None, {}) when no
+    artifact exists (callers fall back to the classical plane sweep).
+    Orbax checkpoint directories are also accepted."""
+    import numpy as np
+
+    path = path or DEFAULT_WEIGHTS
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(path), {}
+    if not os.path.exists(path):
+        return None, {}
+    raw = np.load(path)
+    params: dict = {}
+    meta = {}
+    for k in raw.files:
+        if k.startswith("__meta_"):
+            meta[k[7:]] = float(raw[k])
+            continue
+        parts = [p for p in k.split("/") if p]
+        d = params
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(raw[k])
+    return params, meta

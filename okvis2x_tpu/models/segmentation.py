@@ -96,6 +96,69 @@ def keypoint_weights_from_classes(classes: jax.Array) -> jax.Array:
     return w
 
 
+import os
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "fast_scnn.npz"
+)
+
+
+def load_params(path: str = None):
+    """Load trained FastSCNN parameters from the flat npz written by
+    tools/train_segmentation.py; returns (params, meta) or (None, {}) when
+    no artifact exists (callers fall back to the sky heuristic)."""
+    import numpy as np
+
+    path = path or DEFAULT_WEIGHTS
+    if not os.path.exists(path):
+        return None, {}
+    raw = np.load(path)
+    params: dict = {}
+    meta = {}
+    for k in raw.files:
+        if k.startswith("__meta_"):
+            meta[k[7:]] = float(raw[k])
+            continue
+        parts = [p for p in k.split("/") if p]
+        d = params
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(raw[k])
+    return params, meta
+
+
+_NET = None  # (net, params, meta) | False after a miss
+
+
+def trained_net():
+    """Lazy-load the shipped classifier; None when absent."""
+    global _NET
+    if _NET is None:
+        params, meta = load_params()
+        _NET = False if params is None else (FastSCNN(), params, meta)
+    return _NET or None
+
+
+def keypoint_weights(img: jax.Array, uv: jax.Array,
+                     engine: str = "auto") -> jax.Array:
+    """Per-keypoint sigma multipliers (downweights sky/dynamic keypoints,
+    ≙ Frame::computeClassifications + the matching/estimation
+    downweighting).  Engine 'auto' uses the trained FastSCNN artifact when
+    shipped, else the sky heuristic; 'net' demands the artifact; traceable
+    under jit (the net parameters bake in as constants)."""
+    net = trained_net() if engine in ("auto", "net") else None
+    if engine == "net" and net is None:
+        raise FileNotFoundError(
+            "engine='net' requested but no trained segmentation artifact "
+            "exists (run tools/train_segmentation.py)"
+        )
+    if net is not None:
+        mod, params, _ = net
+        logits = mod.apply(params, img)
+        return keypoint_weights_from_classes(sample_classes(logits, uv))
+    return sky_heuristic_weights(img, uv)
+
+
 def sky_heuristic_weights(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Training-free fallback: bright + low-gradient upper-image regions
     behave like sky; their keypoints get inflated sigmas."""

@@ -260,19 +260,68 @@ def optimize_pose_graph_pcg(
     )
 
     if mesh is None:
-        run = jax.jit(functools.partial(_core, axis=None, **kw))
+        run = _solver_fn(None, **kw)
         T_opt, cost = run(*args)
     else:
         espec = P(OBS_AXIS)
         in_specs = (P(), P(), espec, espec, espec, espec, espec)
-        core = shard_map(
-            functools.partial(_core, axis=OBS_AXIS, **kw),
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
         shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
         args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
-        T_opt, cost = jax.jit(core)(*args)
+        T_opt, cost = _solver_fn(mesh, **kw)(*args)
     return np.asarray(T_opt)[:K0], float(cost)
+
+
+def _bucket_of(n: int, base: int) -> int:
+    c = base
+    while c < n:
+        c *= 2
+    return c
+
+
+def precompile(n_nodes: int, n_edges: Optional[int] = None,
+               iterations: int = 10, mesh: Optional[Mesh] = None,
+               dtype=jnp.float64):
+    """Force-compile (and execute once) the PCG pose-graph program for the
+    capacity bucket that `n_nodes` keyframes will hit.  The background
+    optimiser calls this AHEAD of need (when the live graph approaches a
+    bucket boundary) so the bucket-crossing dispatch finds a warm program
+    instead of compiling in front of the realtime queue."""
+    K = _bucket_of(max(n_nodes, 2), 64)
+    # default edge count ~ node count (odometry chain + a few loops): this
+    # reproduces the Ep bucket a real dispatch of `n_nodes` keyframes hits
+    E = n_edges if n_edges is not None else max(n_nodes, 2)
+    id7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    T = np.tile(id7, (K, 1))
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    ei = np.arange(E, dtype=np.int32) % max(K - 1, 1)
+    ej = ei + 1
+    optimize_pose_graph_pcg(
+        T, fixed, ei, ej, np.tile(id7, (E, 1)),
+        np.tile(np.eye(6), (E, 1, 1)), iterations=iterations, mesh=mesh,
+        dtype=dtype,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _solver_fn(mesh, **kw):
+    """Module-level program cache: ONE jitted function per
+    (mesh, iterations, cg_iterations, lambda schedule) — argument shapes
+    (the Kp/Ep capacity buckets) key jit's own cache underneath.  The
+    background full-graph thread dispatches this on every loop closure; a
+    fresh `jax.jit` wrapper per call would re-trace the unrolled
+    LM-over-PCG loop (seconds of host work on 2 vCPUs) and push a
+    recompile into the device queue mid-run, stalling the realtime path
+    behind it."""
+    if mesh is None:
+        return jax.jit(functools.partial(_core, axis=None, **kw))
+    espec = P(OBS_AXIS)
+    in_specs = (P(), P(), espec, espec, espec, espec, espec)
+    core = shard_map(
+        functools.partial(_core, axis=OBS_AXIS, **kw),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(core)

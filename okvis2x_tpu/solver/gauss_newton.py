@@ -95,6 +95,18 @@ class SolverConfig(NamedTuple):
     # (max_iterations is always static).  Costs ~max_iterations x the body
     # compile time, so keep False on CPU test hosts.
     unroll: bool = False
+    # Early exit on convergence (≙ CeresIterationCallback trimming only
+    # CONVERGED iterations, okvis_ceres/include/okvis/ceres/
+    # CeresIterationCallback.hpp:80): > 0 switches the LM loop to a
+    # lax.while_loop that stops once an accepted step's relative cost
+    # decrease falls below this tolerance.  At realtime-window shapes each
+    # iteration costs ~1.7-2.3 ms of device time, so stopping at the
+    # typical 3-5 (warm-started) instead of the compiled max of 10 saves
+    # ~10 ms/frame — and trims only iterations that were not improving the
+    # estimate, unlike the coarse 3/5/10 iteration buckets (which parked
+    # the estimator on an accuracy cliff, round-4 notes).
+    early_exit_rel: float = 0.0
+    early_min_iterations: int = 2
 
 
 # ---------------------------------------------------------------------------
@@ -777,7 +789,55 @@ def optimize(
     inf = jnp.asarray(jnp.inf, p.T_WS.dtype)
     params0 = extract(p)
     carry = (params0, params0, lam0, inf)
-    if cfg.unroll:
+    if cfg.early_exit_rel > 0:
+        # convergence-gated LM: stop once an ACCEPTED step's relative cost
+        # decrease drops below tolerance, so the device skips iterations
+        # that were no longer improving the estimate
+        tol = jnp.asarray(cfg.early_exit_rel, p.T_WS.dtype)
+
+        def exit_test(i, prev_best, best):
+            # only an ACCEPTED improving step can signal convergence: a
+            # rejected step also leaves best_cost unchanged (rel = 0) but
+            # means "raise lambda and retry", not "converged"
+            rel = (prev_best - best) / jnp.maximum(prev_best, 1e-30)
+            return (
+                (i + 1 >= cfg.early_min_iterations)
+                & jnp.isfinite(prev_best)
+                & (best < prev_best)
+                & (rel < tol)
+            )
+
+        if cfg.unroll:
+            # unrolled variant: each compiled iteration is wrapped in a
+            # lax.cond on the done flag — a skipped iteration costs one
+            # branch check instead of a linearize+solve, and the straight
+            # -line schedule avoids the while_loop's per-step sequencer
+            # sync (measured ~1.5 ms/step on the remote TPU runtime)
+            done = jnp.bool_(False)
+            for i in range(cfg.max_iterations):
+                prev_best = carry[3]
+                carry = jax.lax.cond(
+                    done, lambda c: c, lambda c: body(0, c), carry
+                )
+                done = done | exit_test(i, prev_best, carry[3])
+            params, backup, _, best_cost = carry
+        else:
+            def w_cond(state):
+                i, done, _ = state
+                return (i < cfg.max_iterations) & ~done
+
+            def w_body(state):
+                i, _, carry = state
+                prev_best = carry[3]
+                carry = body(i, carry)
+                done = exit_test(i, prev_best, carry[3])
+                return i + 1, done, carry
+
+            _, _, carry = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), jnp.bool_(False), carry)
+            )
+            params, backup, _, best_cost = carry
+    elif cfg.unroll:
         for _ in range(cfg.max_iterations):
             carry = body(0, carry)
         params, backup, _, best_cost = carry

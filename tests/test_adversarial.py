@@ -43,7 +43,7 @@ BASE = dict(duration=3.2, frame_rate=10.0, width=320, height=240)
 
 
 def _run(ds_dir, cam_override=None, T_SC_override=None, imu_hook=None,
-         est_kw=None):
+         est_kw=None, pipe_kw=None):
     ds = euroc.EurocDataset(ds_dir)
     from okvis2x_tpu.cameras import pinhole
 
@@ -65,6 +65,7 @@ def _run(ds_dir, cam_override=None, T_SC_override=None, imu_hook=None,
     pipe_cfg = PipelineConfig(
         max_keypoints=256, octaves=1, harris_threshold=1e-6,
         keyframe_match_fraction=0.5, do_loop_closures=False,
+        **(pipe_kw or {}),
     )
     pipe = VioPipeline([cam, cam], T_SC, est_cfg, pipe_cfg)
     n = 0
@@ -128,6 +129,51 @@ def test_calibration_perturbation():
     )
     ate = _run(ds, cam_override=cam_bad, T_SC_override=T_SC_bad)
     assert ate < 0.40, f"calibration-perturbation ATE {ate:.3f}"
+
+
+TEX = dict(
+    duration=6.0, frame_rate=10.0, width=320, height=240,
+    trajectory="circuit", fx=280.0, density=16.0, seed=21,
+    world="textured",
+    world_kwargs=dict(n_distractors=10, n_panels=14, n_clouds=8),
+    traj_kwargs=dict(radius=6.0, speed=1.5),
+)
+
+
+def _run_textured(segmentation: str):
+    from okvis2x_tpu.models import segmentation as seg_mod
+
+    if segmentation == "net" and seg_mod.trained_net() is None:
+        segmentation = "heuristic"
+    ds = _dataset(dict(TEX))
+    return _run(
+        ds,
+        pipe_kw=dict(deferred_frontend=True, segmentation=segmentation),
+    )
+
+
+def test_textured_world():
+    """The EuRoC-class validation proxy: textured panels with occlusion, a
+    bright drifting-cloud sky, moving distractor clusters and global
+    illumination drift (io/synthetic.py::render_textured) — texture on
+    continuous surfaces instead of ideal isolated dots.  The pipeline must
+    stay within the stressed ATE bound (≙ the robustness machinery the
+    reference carries at okvis_frontend/src/Frontend.cpp:204-256)."""
+    ate = _run_textured("off")
+    assert ate < 0.45, f"textured-world ATE {ate:.3f}"
+
+
+def test_textured_world_segmentation_helps():
+    """Semantic keypoint downweighting (trained FastSCNN when the artifact
+    is shipped, else the sky heuristic) must not hurt — and is expected to
+    help — on the distractor-heavy textured world (≙ fast-scnn keypoint
+    classification, okvis_cv/src/Frame.cpp:33-128)."""
+    ate_off = _run_textured("off")
+    ate_seg = _run_textured("net")
+    # weighting must at least not degrade materially, and stay in-bound
+    assert ate_seg < 0.45, f"segmentation-on ATE {ate_seg:.3f}"
+    assert ate_seg < ate_off * 1.15 + 0.02, (
+        f"segmentation hurt: {ate_seg:.3f} vs off {ate_off:.3f}")
 
 
 def test_imu_bias_ramp():
