@@ -201,7 +201,7 @@ def main():
         vio.set_tracks_csv_file(0, args.tracks_csv)
 
     submapper = None
-    if args.mode == "depth":
+    if args.mode in ("depth", "rgbd"):
         from okvis2x_tpu.pipeline.submapping import (
             SubmappingConfig, SubmappingInterface,
         )
@@ -246,6 +246,64 @@ def main():
             else:
                 info = pipe.process_frame(data.t, images)
         n += 1
+
+        if args.mode == "rgbd" and info["is_keyframe"] and len(images) >= 2:
+            # learned depth fusion (≙ DepthFusionProcessor.cpp:78-497):
+            # stereo depth + multi-view depth from the previous keyframes
+            # (trained MvsNet when resources/mvs_net.npz is shipped, else
+            # classical plane sweep), inverse-variance fused (:418-420)
+            # and integrated into the occupancy submaps
+            import jax
+            import jax.numpy as jnp
+
+            from okvis2x_tpu.core import se3, se3np
+            from okvis2x_tpu.models import mvs as mvs_mod
+            from okvis2x_tpu.models import stereo as stereo_mod
+
+            with timing.Timer("9 DepthFusionAndIntegrate"):
+                fx = float(np.asarray(cameras[0].fxfycxcy)[0])
+                fy = float(np.asarray(cameras[0].fxfycxcy)[1])
+                cx = float(np.asarray(cameras[0].fxfycxcy)[2])
+                cy = float(np.asarray(cameras[0].fxfycxcy)[3])
+                baseline = float(
+                    np.linalg.norm(T_SC[1][:3] - T_SC[0][:3]))
+                if not hasattr(main, "_fuse_jit"):
+                    Kmat = jnp.asarray(
+                        [[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                        jnp.float32)
+
+                    def _fuse(l, r, srcs, T_rs):
+                        sd = stereo_mod.stereo_depth(l, r, fx, baseline)
+                        md = mvs_mod.mvs_depth(l, srcs, Kmat, T_rs)
+                        d, s = stereo_mod.fuse_depths(
+                            jnp.where(sd.valid, sd.depth, 0.0), sd.sigma,
+                            jnp.where(md.valid, md.depth, 0.0), md.sigma,
+                        )[:2]
+                        return d, s
+
+                    main._fuse_jit = jax.jit(_fuse)
+                    main._kf_hist = []
+                T_WC = np.asarray(se3.se3_multiply(
+                    jnp.asarray(info["T_WS"]), jnp.asarray(T_SC[0])))
+                hist = main._kf_hist
+                if len(hist) >= 2:
+                    srcs = jnp.stack(
+                        [jnp.asarray(h[0]) for h in hist[-2:]])
+                    # pose of each source in the ref camera frame
+                    T_rs = np.stack([
+                        se3np.se3_multiply(
+                            se3np.se3_inverse(T_WC), h[1])
+                        for h in hist[-2:]
+                    ])
+                    d, s = main._fuse_jit(
+                        jnp.asarray(images[0]), jnp.asarray(images[1]),
+                        srcs, jnp.asarray(T_rs, jnp.float32))
+                    submapper.integrate_depth(
+                        info["fid"], info["T_WS"], T_WC, cameras[0],
+                        np.asarray(d), np.asarray(s),
+                    )
+                hist.append((np.asarray(images[0]), T_WC))
+                del hist[:-4]
 
         if args.mode == "depth" and info["is_keyframe"] and len(images) >= 2:
             import jax

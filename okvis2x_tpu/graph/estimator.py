@@ -1267,6 +1267,15 @@ class SlidingWindowEstimator:
         jax.block_until_ready(cost)
         _log("lc solve", t0)
 
+        # 1b. first-frame initialisation program (eager, compiles ~9 s on
+        # the remote backend when left to frame 1)
+        t0 = _time.perf_counter()
+        jax.block_until_ready(pre.init_pose_from_accel(
+            jnp.asarray(np.array([0.0, 0.0, 9.81])),
+            jnp.asarray(np.zeros(3)),
+        ))
+        _log("init pose", t0)
+
         # 2. marginalisation two-pose edge program (fixed B=3 caps)
         t0 = _time.perf_counter()
         tpe = self._two_pose_edge_fn(3, 512, 128)

@@ -122,6 +122,7 @@ def _scatter_updates(
     upd: jax.Array,  # (...) log-odds deltas
     ok: jax.Array,  # (...) validity
     reduce=None,  # cross-device all-reduce (e.g. lax.psum) for sharded rays
+    compact_cap: int | None = None,  # sparse-reduction touched-brick cap
 ) -> BrickSubmap:
     """Allocate touched bricks (device-side prefix-sum allocation) and
     scatter-add the updates into the pool.
@@ -132,6 +133,7 @@ def _scatter_updates(
     (replicated, deterministic) allocation and mean-update — every device
     ends with an identical submap (≙ BASELINE "submaps sharded across N
     hosts": ray work scales, state stays consistent)."""
+    sharded = reduce is not None
     if reduce is None:
         reduce = lambda x: x
     from okvis2x_tpu.mapping.submap import _in_bounds, _world_to_voxel
@@ -176,20 +178,93 @@ def _scatter_updates(
     flat = jnp.where(okf & (slot >= 0), flat, trash)
     # per-voxel MEAN of this integration's samples (supereight's weighted-
     # mean update model; see mapping/submap.py integrate_rays)
-    sum_upd = reduce(
-        jnp.zeros_like(sm.pool_lo).at[flat].add(
-            jnp.where(okf, upd.reshape(-1), 0.0)
+    if compact_cap is not None and sharded:
+        # SPARSE cross-device reduction: the naive path all-reduces the
+        # ENTIRE pool accumulator twice (pool_bricks x brick^3 floats,
+        # ~17 MB at bench shapes) regardless of how few bricks a sweep
+        # touches — which is why submap weak scaling cratered (0.38 @ 8
+        # devices, round-4 SCALING).  The touched mask was ALREADY
+        # all-reduced above, so every device derives the SAME compact
+        # touched-brick -> slot mapping by prefix sum; each device
+        # scatters its shard into the (cap, brick^3) compact buffer and
+        # only THAT is all-reduced (~16x less traffic at cap=256).
+        # Bricks beyond the cap fall back into a trash row (deterministic
+        # and identical on every device; a sweep touching > cap bricks is
+        # off the design envelope — cap covers the whole table at bench
+        # shapes).
+        B3 = cfg.brick ** 3
+        c_order = jnp.cumsum(touched.astype(jnp.int32)) - 1
+        c_slot_of_brick = jnp.where(
+            touched & (c_order < compact_cap), c_order, compact_cap
+        )  # (T3,): compact slot, overflow/untouched -> trash row
+        # per-sample compact flat index
+        c_slot = c_slot_of_brick[tflat]
+        inner_flat = (
+            (inner[:, 0] * cfg.brick + inner[:, 1]) * cfg.brick
+            + inner[:, 2]
         )
-    )
-    cnt = reduce(
-        jnp.zeros_like(sm.pool_lo).at[flat].add(
-            okf.astype(sm.pool_lo.dtype)
+        c_flat = jnp.where(
+            okf & (slot >= 0), c_slot * B3 + inner_flat,
+            compact_cap * B3,
         )
-    )
+        c_sum = reduce(
+            jnp.zeros((compact_cap * B3 + 1,), sm.pool_lo.dtype)
+            .at[c_flat].add(jnp.where(okf, upd.reshape(-1), 0.0))
+        )
+        c_cnt = reduce(
+            jnp.zeros((compact_cap * B3 + 1,), sm.pool_lo.dtype)
+            .at[c_flat].add(okf.astype(sm.pool_lo.dtype))
+        )
+        # expand back into pool-shaped accumulators LOCALLY (replicated):
+        # pool cell -> its brick's compact slot (or trash)
+        pool_slot = table  # (T3,) brick -> pool slot (may be -1)
+        # build pool-flat gather indices: for each compact cell, its pool
+        # destination; invert instead: for each pool brick slot, find its
+        # compact slot via brick_xyz ordering — simpler: scatter compact
+        # cells into the pool by building destination indices per compact
+        # slot from the same shared mapping
+        dest_brick = jnp.argsort(
+            jnp.where(c_slot_of_brick < compact_cap, c_slot_of_brick, T3)
+        )[:compact_cap]  # table-flat brick index per compact slot
+        dest_pool_slot = table[dest_brick]  # (cap,)
+        dest_ok = (c_slot_of_brick[dest_brick] < compact_cap) & (
+            dest_pool_slot >= 0
+        )
+        dest_base = jnp.where(
+            dest_ok, dest_pool_slot * B3, sm.pool_lo.shape[0] - 1
+        )
+        dflat = (
+            dest_base[:, None] + jnp.arange(B3, dtype=jnp.int32)[None, :]
+        )
+        dflat = jnp.where(dest_ok[:, None], dflat, sm.pool_lo.shape[0] - 1)
+        sum_upd = (
+            jnp.zeros_like(sm.pool_lo)
+            .at[dflat.reshape(-1)]
+            .add(c_sum[: compact_cap * B3])
+        )
+        cnt = (
+            jnp.zeros_like(sm.pool_lo)
+            .at[dflat.reshape(-1)]
+            .add(c_cnt[: compact_cap * B3])
+        )
+    else:
+        sum_upd = reduce(
+            jnp.zeros_like(sm.pool_lo).at[flat].add(
+                jnp.where(okf, upd.reshape(-1), 0.0)
+            )
+        )
+        cnt = reduce(
+            jnp.zeros_like(sm.pool_lo).at[flat].add(
+                okf.astype(sm.pool_lo.dtype)
+            )
+        )
     pool_lo = sm.pool_lo + sum_upd / jnp.maximum(cnt, 1.0)
     pool_lo = jnp.clip(pool_lo, cfg.log_odd_min, cfg.log_odd_max)
     pool_lo = pool_lo.at[trash].set(0.0)
-    pool_w = sm.pool_w.at[flat].add(okf.astype(sm.pool_w.dtype))
+    # weights from the (cross-device-reduced) count accumulator: the old
+    # per-device scatter left pool_w under-counted and NON-replicated in
+    # the sharded path
+    pool_w = (sm.pool_w + cnt.astype(sm.pool_w.dtype)).at[trash].set(0)
     return sm._replace(
         table=table,
         brick_xyz=brick_xyz,

@@ -149,3 +149,79 @@ def plane_sweep(
         sigma=jnp.where(valid, sigma, jnp.inf),
         valid=valid,
     )
+
+
+_NET = None  # (net, params, meta) | False after an artifact miss
+
+
+def _trained_net(n_sources: int):
+    """Lazy-load the trained MvsNet artifact shipped under resources/
+    (tools/train_mvs.py); None when absent or source-count mismatched."""
+    global _NET
+    if _NET is None:
+        from okvis2x_tpu.models import mvs_net
+
+        params, meta = mvs_net.load_params()
+        if params is None:
+            _NET = False
+        else:
+            _NET = (
+                mvs_net.MvsNet(n_depths=int(meta.get("n_depths", 32))),
+                params, meta,
+            )
+    if not _NET:
+        return None
+    _, _, meta = _NET
+    if int(meta.get("n_src", n_sources)) != n_sources:
+        return None
+    return _NET
+
+
+def mvs_depth(
+    ref: jax.Array,  # (H, W)
+    srcs: jax.Array,  # (S, H, W)
+    K: jax.Array,  # (3, 3)
+    T_ref_src: jax.Array,  # (S, 7) pose of each source in the ref cam frame
+    engine: str = "auto",
+    min_depth: float = 0.5,
+    max_depth: float = 20.0,
+    num_depths: int = 48,
+) -> MvsDepth:
+    """Multi-view depth + sigma with engine dispatch (≙ the reference
+    defaulting to its TorchScript SimpleRecon model,
+    okvis_deep_learning/src/DepthFusionProcessor.cpp:78-497): 'auto' uses
+    the trained MvsNet when the shipped artifact's held-out RMSE beats the
+    classical plane sweep; 'net' demands the artifact; 'classical' never
+    loads it."""
+    net = _trained_net(int(srcs.shape[0])) if engine in ("auto", "net") \
+        else None
+    if engine == "net" and net is None:
+        raise FileNotFoundError(
+            "engine='net' requested but no trained MVS artifact exists "
+            "(run tools/train_mvs.py to produce resources/mvs_net.npz)"
+        )
+    if net is not None and engine == "auto":
+        _, _, meta = net
+        if meta.get("rmse_net", jnp.inf) >= meta.get("rmse_plane_sweep",
+                                                     0.0):
+            net = None
+    if net is not None:
+        mod, params, _ = net
+        fxfycxcy = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+        # net contract: T_sr = homogeneous ref-cam -> src-cam transforms
+        T_sr7 = jax.vmap(se3.se3_inverse)(T_ref_src)
+        R = jax.vmap(lambda T: se3.quat_to_matrix(se3.se3_q(T)))(T_sr7)
+        M = (
+            jnp.tile(jnp.eye(4, dtype=ref.dtype), (srcs.shape[0], 1, 1))
+            .at[:, :3, :3].set(R)
+            .at[:, :3, 3].set(T_sr7[:, :3])
+        )
+        depth, sigma = mod.apply(params, ref, srcs, fxfycxcy, M)
+        valid = (depth > mod.d_min + 1e-3) & (depth < mod.d_max - 1e-3)
+        return MvsDepth(
+            depth=jnp.where(valid, depth, 0.0),
+            sigma=jnp.where(valid, sigma, jnp.inf),
+            valid=valid,
+        )
+    return plane_sweep(ref, srcs, K, T_ref_src, min_depth=min_depth,
+                       max_depth=max_depth, num_depths=num_depths)

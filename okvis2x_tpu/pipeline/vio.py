@@ -1191,10 +1191,14 @@ class VioPipeline:
 
         t_submit = _time.perf_counter()
 
+        ev_crit = threading.Event()
+        item["_crit_ev"] = ev_crit
+        item["_fetched"] = [None] * len(arrs)
+
         def run():
             from okvis2x_tpu.utils import timing
 
-            fetched = [None] * len(arrs)
+            fetched = item["_fetched"]
 
             def _get(k, a):
                 t0 = _time.perf_counter()
@@ -1205,6 +1209,13 @@ class VioPipeline:
                 timing.add_sample(
                     f"2.B Fetch[{names[k]}]", _time.perf_counter() - t0
                 )
+                if k == 0:
+                    # the critical frontend payload gates association of
+                    # the NEXT frame; the solve/edge payloads are only
+                    # needed later (writeback before the next solve
+                    # dispatch) — signal them separately so the frame
+                    # path can proceed as soon as association can
+                    ev_crit.set()
 
             ths = [
                 threading.Thread(target=_get, args=(k, a))
@@ -1221,6 +1232,7 @@ class VioPipeline:
             timing.add_sample(
                 "2.A FetchWall", _time.perf_counter() - t_submit
             )
+            ev_crit.set()
             ev.set()
 
         threading.Thread(target=run, daemon=True).start()
@@ -1379,32 +1391,26 @@ class VioPipeline:
         return angles
 
     def _consume_cycle(self, item: dict, fetched) -> None:
-        """Apply one fetched cycle: write back the solve of frame N-1,
-        run its post-solve stages, then consume frame N's frontend
-        (association + keyframe decision) and dispatch frame N's solve."""
-        from okvis2x_tpu.utils import timing
-
+        """Apply one FULLY-fetched cycle (drain path): critical-payload
+        association first, then the solve writeback + post-solve stages."""
         if isinstance(fetched, Exception):
             raise fetched
+        self._consume_crit(item, fetched[0])
+        self._consume_rest(item, fetched)
+
+    def _consume_crit(self, item: dict, crit_np) -> None:
+        """Consume the CRITICAL payload of a cycle: frame N's association
+        + keyframe decision.  Only needs the frontend's crit block — runs
+        as soon as that lands, while the solve/edge payloads are still in
+        flight.  Stashes frame N in _solve_todo; the dispatch waits for
+        _consume_rest (the solve writeback must precede the next problem
+        build)."""
+        from okvis2x_tpu.utils import timing
+
+        if isinstance(crit_np, Exception):
+            raise crit_np
         est = self.est
         front = item["front"]
-        fetched = list(fetched)
-        crit_np = fetched[0]
-        k = 1
-        if item["solve"] is not None:
-            item["solve"]["packed_np"] = np.asarray(fetched[k]); k += 1
-        # deferred marginalisation edges land BEFORE the next problem build
-        for job in item.get("edge_jobs", ()):
-            est.apply_pending_edges(job, np.asarray(fetched[k])); k += 1
-        if item["solve"] is not None:
-            meta = item["solve_meta"]
-            with timing.Timer("2.5 CollectSolve"):
-                est.optimise_gated_collect(item["solve"])
-            self.synchronise_full_graph()
-            self._finish_frame(
-                meta["fid"], meta["t"], meta["is_kf"], meta["log_idx"]
-            )
-
         fid, t = front["fid"], front["t"]
         with timing.Timer("2.3 AssocConsume"):
             frame_data, counts = self.frontend_consume(
@@ -1420,24 +1426,46 @@ class VioPipeline:
         if front["depth_images"] is not None:
             self.attach_depth_priors(fid, front["depth_images"])
             self.depth_initialize(fid, frame_data, front["depth_images"])
+        # the solve dispatch is DEFERRED until after the next frame's
+        # frontend dispatch AND this cycle's solve writeback
+        # (_dispatch_pending_solve): with async D2H pushes the critical
+        # frontend payload starts streaming the moment its exec completes,
+        # and the solve exec overlaps that push instead of sitting in
+        # front of the frontend in the device queue.
+        self._solve_todo = dict(fid=fid, t=t, is_kf=is_kf,
+                                log_idx=front["log_idx"])
 
+    def _consume_rest(self, item: dict, fetched) -> None:
+        """Consume the DEFERRED payloads of a cycle: frame N-1's solve
+        writeback (+ post-solve keyframe bookkeeping/marginalisation) and
+        the pending marginalisation edges — must complete before the next
+        solve dispatch builds its problem."""
+        from okvis2x_tpu.utils import timing
+
+        if isinstance(fetched, Exception):
+            raise fetched
+        est = self.est
+        fetched = list(fetched)
+        k = 1
         if item["solve"] is not None:
+            item["solve"]["packed_np"] = np.asarray(fetched[k]); k += 1
+        # deferred marginalisation edges land BEFORE the next problem build
+        for job in item.get("edge_jobs", ()):
+            est.apply_pending_edges(job, np.asarray(fetched[k])); k += 1
+        if item["solve"] is not None:
+            meta = item["solve_meta"]
+            with timing.Timer("2.5 CollectSolve"):
+                est.optimise_gated_collect(item["solve"])
+            self.synchronise_full_graph()
+            self._finish_frame(
+                meta["fid"], meta["t"], meta["is_kf"], meta["log_idx"]
+            )
             live = {fr.fid for fr in est.frames}
             solved = [
                 f2 for f2 in item["solve"]["fid2slot"] if f2 in live
             ]
             if solved:
                 est.repredict_after(max(solved))
-        # the solve dispatch is DEFERRED until after the next frame's
-        # frontend dispatch (_dispatch_pending_solve): with async D2H
-        # pushes the critical frontend payload starts streaming the moment
-        # its exec completes, and the solve exec overlaps that push
-        # instead of sitting in front of the frontend in the device queue.
-        # (Pre-async-push, frontend-first cost +20 ms p50 because the
-        # pull-RPC waited behind the solve exec; the push model inverts
-        # the trade.)
-        self._solve_todo = dict(fid=fid, t=t, is_kf=is_kf,
-                                log_idx=front["log_idx"])
 
     def _process_frame_deferred(
         self, t: float, images: List[np.ndarray], depth_images=None
@@ -1468,23 +1496,36 @@ class VioPipeline:
 
             t_w0 = _time.perf_counter()
             with timing.Timer("2.0 PrefetchWait"):
-                item, fetched = self._pop_item()
+                item = self._inflight.popleft()
+                item["_crit_ev"].wait()
             # the stall the realtime path experienced waiting for the
             # device cycle IS the measurable budget quantity here
             # (≙ CeresIterationCallback time limit)
             budget_overrun = est.adapt_realtime_budget(
                 _time.perf_counter() - t_w0
             ) or budget_overrun
-            self._consume_cycle(item, fetched)
+            # STRICT in-order consume: solve writeback + full-graph
+            # synchronisation + marginalisation BEFORE this frame's
+            # association.  A "fast path" that consumed the critical
+            # payload first and deferred the solve collect past the next
+            # frontend dispatch bought ~1.4 fps but (a) staged the next
+            # association against a one-solve-stale landmark table
+            # (keyframe rate doubled: 107 -> 211) and (b) let loop-closure
+            # surgery interleave after association, which teleported the
+            # map on the second closure (measured ATE 0.06 -> 91 m).  The
+            # split fetch events remain: the crit wait is the budget
+            # signal, and the solve payload still pushes async.
+            item["_ev"].wait()
+            self._consume_rest(item, item["_result"])
+            self._consume_crit(item, item["_fetched"][0])
             # the consume corrected earlier frames; re-predict this frame
             # from them before the frontend projects landmarks
             f = est.get_state(fid)
         self._drain_desc()
 
         # dispatch this frame's fused frontend FIRST (its critical payload
-        # gates the next cycle), then the pending solve for the frame the
-        # latest consume finished — the solve exec overlaps the frontend
-        # payload's async D2H push
+        # gates the next cycle), then the pending solve — the solve exec
+        # overlaps the frontend payload's async D2H push
         with timing.Timer("2.2 FrontDispatch"):
             h_front = self.frontend_dispatch(
                 fid, t, staged, f.T_WS, depth_images

@@ -9,6 +9,8 @@ import pytest
 from okvis2x_tpu.cameras import distortion as dist
 from okvis2x_tpu.cameras import pinhole
 
+pytestmark = pytest.mark.smoke
+
 F64 = jnp.float64
 
 # EuRoC cam0-like calibration

@@ -3,6 +3,9 @@
 import numpy as np
 
 from okvis2x_tpu.io import debug_csv as dc
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_imu_csv(tmp_path):

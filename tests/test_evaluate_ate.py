@@ -3,6 +3,9 @@
 import numpy as np
 
 from okvis2x_tpu.io import trajectory_io as tio
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _traj(n=50, drift=0.0):

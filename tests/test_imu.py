@@ -13,6 +13,9 @@ import numpy as np
 from okvis2x_tpu.core import se3
 from okvis2x_tpu.factors import imu_factor
 from okvis2x_tpu.imu import preintegration as pre
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 F64 = jnp.float64
 PARAMS = pre.ImuParams()

@@ -9,6 +9,8 @@ import pytest
 from okvis2x_tpu.io import config as cfg_mod
 from okvis2x_tpu.io import synthetic, trajectory_io, xdataset
 
+pytestmark = pytest.mark.smoke
+
 
 def test_load_reference_euroc_config():
     """Parse the reference's actual EuRoC config unchanged."""

@@ -12,6 +12,9 @@ from okvis2x_tpu.core import se3
 from okvis2x_tpu.factors import priors
 from okvis2x_tpu.graph import marginalization, posegraph
 from okvis2x_tpu.solver import gauss_newton as gn
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 F64 = jnp.float64
 

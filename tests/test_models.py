@@ -221,3 +221,49 @@ def test_stereo_depth_engine_dispatch():
     out = stereo_mod.stereo_depth(left, right, fx=200.0, baseline=0.1,
                                   engine="net")
     assert out.depth.shape == (64, 96)
+
+
+def test_trained_mvs_artifact_beats_plane_sweep():
+    """The shipped resources/mvs_net.npz must (a) load, (b) carry eval
+    metadata showing it beat the classical plane sweep on held-out sets at
+    training time, and (c) engage through the mvs_depth engine dispatch
+    (≙ the reference shipping mvs-sigma.pt and running it in
+    DepthFusionProcessor.cpp:78-497)."""
+    from okvis2x_tpu.models import mvs_net
+
+    params, meta = mvs_net.load_params()
+    if params is None:
+        pytest.skip("resources/mvs_net.npz not trained yet")
+    assert meta["rmse_net"] < meta["rmse_plane_sweep"], meta
+
+    # dispatch: engine='net' must produce a valid depth map
+    H, W, fx = 96, 128, 120.0
+    rng = np.random.default_rng(3)
+    ref = jnp.asarray(rng.random((H, W)), jnp.float32)
+    srcs = jnp.asarray(rng.random((2, H, W)), jnp.float32)
+    K = jnp.asarray([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (2, 1))
+    T[0, 0], T[1, 1] = 0.15, 0.12
+    out = mvs.mvs_depth(ref, srcs, K, jnp.asarray(T), engine="net")
+    d = np.asarray(out.depth)
+    assert d.shape == (H, W) and np.all(np.isfinite(d))
+
+
+def test_trained_segmentation_artifact():
+    """The shipped resources/fast_scnn.npz must load, carry held-out
+    metrics beating the sky heuristic's downweight recall, and engage
+    through keypoint_weights(engine='net') (≙ fast-scnn keypoint
+    classification, okvis_cv/src/Frame.cpp:33-128)."""
+    from okvis2x_tpu.models import segmentation as seg
+
+    params, meta = seg.load_params()
+    if params is None:
+        pytest.skip("resources/fast_scnn.npz not trained yet")
+    assert meta["kp_recall_net"] > meta["kp_recall_heuristic"], meta
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((120, 160)), jnp.float32)
+    uv = jnp.asarray(rng.uniform(0, 100, (32, 2)))
+    w = np.asarray(seg.keypoint_weights(img, uv, engine="net"))
+    assert w.shape == (32,) and np.all(w >= 1.0)

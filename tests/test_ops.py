@@ -6,6 +6,9 @@ import numpy as np
 
 from okvis2x_tpu.frontend.descriptor import DESC_BITS
 from okvis2x_tpu.ops import hamming_pallas
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 RNG = np.random.default_rng(21)
 

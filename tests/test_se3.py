@@ -12,6 +12,8 @@ import pytest
 
 from okvis2x_tpu.core import se3
 
+pytestmark = pytest.mark.smoke
+
 KEY = jax.random.PRNGKey(0)
 F64 = jnp.float64
 

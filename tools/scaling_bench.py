@@ -129,6 +129,58 @@ def bench_submap(mesh, n_rays, reps=3):
     return dt * 1e3
 
 
+def comm_models(n_dev, n_obs_weak, n_rays_weak):
+    """Analytic per-device work + collective payload bytes for each
+    distributed program (the quantity that actually predicts ICI behaviour
+    — wall clock on an oversubscribed virtual CPU mesh cannot separate
+    compute contention from communication).  A psum moves ~2x the payload
+    around a ring (reduce-scatter + all-gather); payload bytes are listed,
+    ring factor noted in the JSON.
+    """
+    f = 4  # float32 bytes
+    # ---- window BA: K=8 frames, L=704 lm, pose dim P = 15K + 6C + 7
+    K, L, C = 8, 704, 1
+    P = 15 * K + 6 * C + 7
+    ba_payload = f * (P * P + P + 1 + L * 9 + L * 3 + L * P * 3)
+    # per-obs-row linearise ~ (2 residual rows) x (P + 3) jacobian cols,
+    # plus the one-hot MXU contractions for the landmark blocks
+    ba_flops_row = 2 * (P + 3) * 8
+    # ---- pose graph PCG: K=512 nodes, E = K-1 + K/4 edges
+    Kp, it, cg = 512, 2, 24
+    Ep = Kp - 1 + Kp // 4
+    pg_payload = it * f * (Kp * 6 + Kp * 36 + 1) + it * cg * f * (
+        Kp * 6 + 2
+    )
+    pg_flops_edge = 36 * 6 * 4 * (1 + cg)
+    # ---- submap: touched-mask psum + 2 compact accumulators
+    # (cap x brick^3; the pre-fix path all-reduced the full pool:
+    # 2 x 4096 x 512 floats = 16.8 MB, ray-count-independent)
+    T3, cap, b3, pool = 32 ** 3, 256, 512, 4096
+    sm_payload = f * (T3 + 2 * (cap * b3 + 1))
+    sm_payload_old = f * (T3 + 2 * pool * b3)
+    sm_flops_ray = 48 * 20  # samples x per-sample update cost
+    return dict(
+        window_ba=dict(
+            payload_bytes_per_iter=ba_payload,
+            rows_per_device_strong=8192 // n_dev,
+            rows_per_device_weak=n_obs_weak // n_dev,
+            flops_per_row=ba_flops_row,
+        ),
+        pose_graph=dict(
+            payload_bytes_per_solve=pg_payload,
+            edges_per_device=Ep // n_dev,
+            flops_per_edge=pg_flops_edge,
+        ),
+        submap=dict(
+            payload_bytes_per_integration=sm_payload,
+            payload_bytes_pre_compact_fix=sm_payload_old,
+            rays_per_device_strong=4096 // n_dev,
+            rays_per_device_weak=n_rays_weak // n_dev,
+            flops_per_ray=sm_flops_ray,
+        ),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -190,6 +242,12 @@ def main():
                 pose_graph="512 nodes, odometry + 25% loop edges",
                 submap="4096 rays (strong) / 512*dev (weak)",
             ),
+            collective_note=(
+                "payload bytes listed once; a psum moves ~2x payload "
+                "around a ring (reduce-scatter + all-gather); per-device "
+                "work columns are the sharded quantities that shrink "
+                "with the mesh"
+            ),
             rows=[
                 dict(
                     devices=n,
@@ -201,6 +259,7 @@ def main():
                     ba_weak_efficiency=round(t1[2] / b, 3),
                     submap_weak_efficiency=round(t1[5] / e, 3),
                     ba_strong_speedup=round(t1[1] / a, 3),
+                    work_comm=comm_models(n, 1024 * n, 512 * n),
                 )
                 for n, a, b, c, d, e in rows
             ],
