@@ -2253,6 +2253,25 @@ class SlidingWindowEstimator:
             dT = se3np.se3_multiply(
                 T_opt[idx[anchor.fid]], se3np.se3_inverse(anchor.T_WS)
             )
+            dt_mag = float(np.linalg.norm(dT[:3]))
+            if dt_mag > 8.0:
+                # drift-budget gate (≙ the reference gating loop-closure
+                # corrections by expected drift, ViSlamBackend.cpp:2361):
+                # a legitimate correction on a hundreds-of-metres session
+                # is metres at most; a tens-of-metres rigid delta means
+                # the anchor's epochs diverged (e.g. a stale background
+                # result racing surgery) — applying it teleports the
+                # whole estimate (observed: a 57 m z-jump on the 185 s
+                # circuit).  Reject the application; the next background
+                # solve re-dispatches from consistent state.
+                logging.warning(
+                    "pose-graph sync rejected: rigid backlog delta "
+                    "%.1f m (anchor fid %d)", dt_mag, anchor.fid)
+                return False
+            if dt_mag > 1.0:
+                logging.warning(
+                    "pose-graph sync: large rigid backlog delta %.2f m "
+                    "(anchor fid %d)", dt_mag, anchor.fid)
 
         # write back optimised poses to every snapshot node still known
         window = {f.fid: f for f in self.frames}

@@ -89,6 +89,13 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
         # ~10 ms/frame of device time with no accuracy cliff (unlike the
         # round-4 hard 3/5/10 iteration buckets, which halved accuracy)
         early_exit_rel=5e-4,
+        # the wall budget controller on top (≙ okvis2.yaml
+        # realtime_time_limit 0.035): steps the compiled iteration CAP
+        # down only under sustained overrun.  With the early exit doing
+        # the per-solve trimming, the floor stays at 6 iterations — the
+        # round-4 cliff was the hard 3-5 caps (all bucket programs are
+        # precompiled, so stepping never compiles mid-run)
+        realtime_time_limit=0.035, min_iterations=6,
     )
     pipe_cfg = PipelineConfig(
         max_keypoints=704,  # ≙ okvis2.yaml max_num_keypoints 700
