@@ -57,7 +57,7 @@ def ensure_dataset(params: dict, verbose: bool = True) -> str:
 
 
 def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
-        platform=None, save_traj=None):
+        platform=None, save_traj=None, seed=3):
     from okvis2x_tpu.utils import jaxconfig, timing
 
     jaxconfig.setup()
@@ -72,7 +72,7 @@ def run(duration=185.0, warmup_frames=60, verbose=True, max_frames=0,
 
     params = dict(
         duration=float(duration), frame_rate=20.0, imu_rate=200.0,
-        width=752, height=480, fx=460.0, density=22.0, seed=3,
+        width=752, height=480, fx=460.0, density=22.0, seed=int(seed),
         scene_version=2,
     )
     ds_dir = ensure_dataset(params, verbose)
@@ -262,10 +262,12 @@ if __name__ == "__main__":
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
     ap.add_argument("--save-traj", default=None,
                     help="dump trajectories + pose graph to this .npz")
+    ap.add_argument("--seed", type=int, default=3,
+                    help="dataset seed (spread reporting runs 3 seeds)")
     args = ap.parse_args()
     res = run(
         duration=args.duration, warmup_frames=args.warmup,
         max_frames=args.max_frames, platform=args.platform,
-        save_traj=args.save_traj,
+        save_traj=args.save_traj, seed=args.seed,
     )
     print(json.dumps(res))
