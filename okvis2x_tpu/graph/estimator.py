@@ -161,6 +161,20 @@ class SlidingWindowEstimator:
         self._rt_ema = 0.0
         self.n_budget_overruns = 0
 
+        # correction-epoch counter: bumped by every applied global
+        # correction (loop-closure surgery, background pose-graph /
+        # full-BA sync, GPS re-alignment).  Background snapshots record
+        # it; FullGraphOptimizer.synchronise discards any result whose
+        # snapshot epoch is stale — the conservative equivalent of the
+        # reference replaying realtime mutations into fullGraph_ before
+        # applying (synchroniseRealtimeAndFullGraph,
+        # okvis_ceres/src/ViSlamBackend.cpp:1589-1870).  Without it, a
+        # result computed before a surgery re-anchors the live window
+        # into the PRE-surgery frame: measured as a 6.75 m teleport at
+        # t=160 s of the 185 s circuit, which marginalisation then baked
+        # into unfixable two-pose edges (final ATE 8.1 m vs 0.05 m).
+        self.correction_epoch = 0
+
         # deferred two-pose-edge jobs (deferred pipeline: the pipeline
         # drains these into its prefetch batch; apply_pending_edges)
         self.defer_edge_jobs = False
@@ -2210,6 +2224,7 @@ class SlidingWindowEstimator:
         fixed[0] = True
         return dict(
             fids=fids,
+            epoch=self.correction_epoch,
             T=T,
             fixed=fixed,
             ei=np.array([idx[e["i"]] for e in all_edges], np.int64),
@@ -2279,6 +2294,8 @@ class SlidingWindowEstimator:
             f = self.archive_frames.get(fid) or window.get(fid)
             if f is not None:
                 f.T_WS = np.asarray(Tn).copy()
+        # any in-flight background snapshot is now stale
+        self.correction_epoch += 1
 
         if dT is None:
             return True
@@ -2312,6 +2329,8 @@ class SlidingWindowEstimator:
             )
         if self.prior_T is not None:
             self.prior_T = se3np.se3_multiply(dT_n, self.prior_T)
+        # any in-flight background snapshot is now stale
+        self.correction_epoch += 1
 
     def import_component_frames(
         self, frame_fids, frame_ts, frame_T_WS, edges, fixed: bool = True
@@ -2721,7 +2740,7 @@ class SlidingWindowEstimator:
             return None
         p, aux = out
         return dict(problem=p, run=self._full_ba_run_fn(aux, iterations),
-                    aux=aux, cams=self.cams)
+                    aux=aux, cams=self.cams, epoch=self.correction_epoch)
 
     def final_ba(self, iterations: int = 15, redo_imu: bool = True,
                  max_nodes: int = 128, stage_cb=None) -> float:

@@ -70,6 +70,7 @@ class FullGraphOptimizer:
         self.n_dispatched = 0
         self.n_synchronised = 0
         self.n_full_ba = 0
+        self.n_stale_discarded = 0
 
     # -- status (≙ the reference's three atomics) ------------------------
     @property
@@ -211,6 +212,9 @@ class FullGraphOptimizer:
             if self._full_result is not None:
                 p_opt, full = self._full_result, self._full_snap
                 self._full_result, self._full_snap = None, None
+                if full.get("epoch") != est.correction_epoch:
+                    self._log_stale(est, full.get("epoch"))
+                    return False
                 ok = est.apply_full_ba_result(full["aux"], p_opt)
                 if ok:
                     self.n_synchronised += 1
@@ -220,7 +224,27 @@ class FullGraphOptimizer:
                 return False
             T_opt, snap = self._result, self._snap
             self._result, self._snap = None, None
+        if snap.get("epoch") != est.correction_epoch:
+            self._log_stale(est, snap.get("epoch"))
+            return False
         ok = est.apply_pose_graph_result(snap["fids"], T_opt)
         if ok:
             self.n_synchronised += 1
         return ok
+
+    def _log_stale(self, est, snap_epoch):
+        """A correction (loop surgery, sync, re-alignment) landed between
+        dispatch and result: the snapshot's frame is no longer the live
+        frame, so applying it would re-anchor the window into the
+        PRE-correction world (measured: a 6.75 m teleport on the 185 s
+        circuit that marginalisation then baked into unfixable two-pose
+        edges).  Discard; the next dispatch re-snapshots consistent
+        state within a few frames."""
+        import logging
+
+        self.n_stale_discarded += 1
+        logging.info(
+            "full-graph result discarded: snapshot epoch %s != current "
+            "%d (corrections applied while solving)", snap_epoch,
+            est.correction_epoch,
+        )

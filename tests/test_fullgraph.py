@@ -195,3 +195,37 @@ def test_background_pcg_path_matches_dense():
 
     for a, b in zip(*results):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+def test_stale_result_discarded_after_correction():
+    """A correction applied between dispatch and synchronise (loop-closure
+    surgery, another sync, a GPS re-alignment) makes the in-flight
+    snapshot stale: applying it would re-anchor the live window into the
+    pre-correction world (measured: a 6.75 m teleport at t=160 s of the
+    185 s circuit, baked into two-pose edges by marginalisation — final
+    ATE 8.1 m).  The optimiser must discard the result instead."""
+    n = 12
+    gt = circle_poses(n)
+    drifted = _drifted(gt)
+    est = make_est()
+    _build(est, gt, drifted, n)
+
+    opt = FullGraphOptimizer(iterations=15, dtype=est.cfg.dtype)
+    assert est.add_loop_edge(n - 1, 0, _loop_edge(gt, n), np.eye(6) * 500.0)
+    assert opt.dispatch(est)
+    assert opt.join(timeout=120.0)
+
+    # a synchronous correction lands while the result is pending
+    est.rigid_transform(np.array([5.0, 0, 0, 0, 0, 0, 1.0]),
+                        session_only=False)
+    poses_after_surgery = [f.T_WS.copy() for f in est.pose_graph()[0]]
+
+    assert not opt.synchronise(est)  # stale -> discarded
+    assert opt.n_stale_discarded == 1
+    assert not opt.is_loop_closure_available  # consumed, not retriable
+    for a, b in zip(poses_after_surgery, est.pose_graph()[0]):
+        np.testing.assert_allclose(a, b.T_WS, atol=0)  # untouched
+
+    # the next dispatch snapshots consistent state and applies cleanly
+    assert opt.dispatch(est)
+    assert opt.join(timeout=120.0)
+    assert opt.synchronise(est)
