@@ -2009,6 +2009,42 @@ class SlidingWindowEstimator:
         )
         return True
 
+    def refresh_loop_edges(self) -> int:
+        """Re-derive loop-edge transforms from the current window estimate
+        while BOTH endpoints are free, observation-constrained window
+        members.  The edge was inserted with the place-recognition RANSAC
+        pose (decimetre-class, GP3P over a landmark snapshot); once the
+        loop-closure frame is restored into the window, the realtime BA
+        estimates the same relative pose through shared reprojection
+        factors + the IMU chain to sub-cm.  The window problem contains
+        only `rel_edges` (never archived loop edges), so this refresh is
+        measurement-driven, not self-referential.  The refreshed transform
+        is what the background pose-graph and the final BA consume after
+        the frame is released (≙ the reference refining loop constraints
+        inside the realtime window while the LC frame is held,
+        ViSlamBackend.cpp:1418-1530)."""
+        live = {f.fid: f for f in self.frames}
+        n = 0
+        for e in self.archive_edges:
+            if not e.get("loop"):
+                continue
+            fi, fj = live.get(e["i"]), live.get(e["j"])
+            if fi is None or fj is None:
+                continue
+            for f in (fi, fj):
+                if f.pose_fixed or (f.pose_graph_frame and not f.expanded):
+                    break
+            else:
+                if np.any(self.obs_fid == e["i"]) and np.any(
+                    self.obs_fid == e["j"]
+                ):
+                    e["T_ij"] = se3np.se3_multiply(
+                        se3np.se3_inverse(fi.T_WS), fj.T_WS
+                    )
+                    e["refined"] = True
+                    n += 1
+        return n
+
     # ---------------- runtime re-expansion (≙ expandKeyframe/mergeLandmark)
     def _restore_landmark(self, lid: int) -> bool:
         """Bring an archived landmark back into the live store (refused at
@@ -2290,10 +2326,26 @@ class SlidingWindowEstimator:
 
         # write back optimised poses to every snapshot node still known
         window = {f.fid: f for f in self.frames}
-        for fid, Tn in zip(fids, T_opt):
+        T_old_nodes = np.zeros_like(np.asarray(T_opt))
+        node_known = np.zeros(len(fids), bool)
+        for k, (fid, Tn) in enumerate(zip(fids, T_opt)):
             f = self.archive_frames.get(fid) or window.get(fid)
             if f is not None:
+                T_old_nodes[k] = f.T_WS
+                node_known[k] = True
                 f.T_WS = np.asarray(Tn).copy()
+        # archived landmark snapshots move WITH their host keyframes
+        # (≙ synchroniseRealtimeAndFullGraph transforming each landmark by
+        # its host frame's correction, ViSlamBackend.cpp:1589-1870).
+        # Leaving them at pre-correction positions poisons everything that
+        # reads arch_lm after a loop correction: expand_keyframe restores
+        # metres-off points into the live window, and the segmented final
+        # BA initialises every archived landmark metres from the corrected
+        # geometry so the robust kernel downweights the very observations
+        # that should refine it.
+        self._correct_archived_landmarks(
+            idx, node_known, T_old_nodes, np.asarray(T_opt), dT
+        )
         # any in-flight background snapshot is now stale
         self.correction_epoch += 1
 
@@ -2308,6 +2360,44 @@ class SlidingWindowEstimator:
         if len(self.hp_W):
             self.hp_W = se3np.se3_apply_homogeneous(dT, self.hp_W)
         return True
+
+    def _correct_archived_landmarks(self, idx, node_known, T_old, T_new,
+                                    dT):
+        """Transform each archived landmark by its HOST keyframe's pose
+        change (host = newest archived observer; ≙ the reference moving
+        landmarks with their host frames in synchroniseRealtimeAndFullGraph).
+        Landmarks whose host is not a snapshot node fall back to the rigid
+        backlog delta `dT` (they belong to the newest, yet-unsnapshotted
+        history, which is exactly what dT re-anchors)."""
+        n = self._arch_obs_n
+        if not self.arch_lm or (n == 0 and dT is None):
+            return
+        host_of = {}
+        if n:
+            lid_rev = self._arch_obs_i[:n, 2][::-1]
+            fid_rev = self._arch_obs_i[:n, 0][::-1]
+            u, first = np.unique(lid_rev, return_index=True)
+            host_of = dict(zip(u.tolist(), fid_rev[first].tolist()))
+        items = list(self.arch_lm.items())
+        hp = np.stack([p for _, p in items])
+        deltas = np.zeros((len(items), 7))
+        deltas[:, 6] = 1.0
+        have = np.zeros(len(items), bool)
+        node_dT = se3np.se3_multiply(T_new, se3np.se3_inverse(T_old))
+        for k, (lid, _) in enumerate(items):
+            g = idx.get(host_of.get(lid))
+            if g is not None and node_known[g]:
+                deltas[k] = node_dT[g]
+                have[k] = True
+            elif dT is not None:
+                deltas[k] = dT
+                have[k] = True
+        if not have.any():
+            return
+        hp2 = se3np.se3_apply_homogeneous(deltas, hp)
+        for k, (lid, _) in enumerate(items):
+            if have[k]:
+                self.arch_lm[lid] = hp2[k]
 
     def rigid_transform(self, dT: np.ndarray, session_only: bool = True):
         """Rigidly move the estimate by dT (left-multiplied world-frame
@@ -2778,22 +2868,32 @@ class SlidingWindowEstimator:
         # refine at full nonlinearity with boundary anchors.  One sweep
         # leaves whatever global shape error the pose graph had frozen
         # into the segment boundaries (measured: final ATE varies 0.03 ↔
-        # 0.17 m run-to-run on the circuit); a second sweep re-solves the
-        # pose graph from the segment-refined odometry and re-anchors,
-        # which converges the boundary error out.
+        # 0.17 m run-to-run on the circuit); re-solving the pose graph
+        # from the segment-refined odometry and re-anchoring converges the
+        # boundary error out.  The alternation is run to a FIXPOINT (max
+        # node movement of the pg stage < 1 cm, up to 3 sweeps) and ends
+        # on a pose-graph polish: the segment stage refreshes the
+        # odometry fill-in that the graph consumes, and the graph solve is
+        # what distributes it globally (measured on the 185 s circuit:
+        # stopping after the sweep-2 segments left final ATE at 0.183 m
+        # while the pose-graph optimum of that very state was 0.102 m).
         cost = 0.0
-        for sweep in range(2):
-            # 1. global pose-graph solve.  Above ~256 nodes the dense
-            # (6K)^2 normal equations blow past HBM (measured: 2500 nodes
-            # compiled to a 17 GB program) — switch to the edge-sharded
-            # matrix-free LM-PCG like the background optimiser does.
+        max_sweeps = 3
+
+        def _pg_stage(tag: str) -> float:
+            """Global pose-graph solve + writeback; returns the max node
+            translation movement [m] (the sweep convergence signal).
+            Above ~256 nodes the dense (6K)^2 normal equations blow past
+            HBM (measured: 2500 nodes compiled to a 17 GB program) —
+            switch to the edge-sharded matrix-free LM-PCG like the
+            background optimiser does.  Dense only up to 256 nodes: the
+            (6K)^2 f32 Cholesky is numerically unusable beyond that
+            (measured: 547-node dense solve exploded the final ATE to
+            1 km).  The PCG path closes long loops once cg_iterations
+            scales with K (block-Jacobi propagates ~1 node/iteration)."""
             snap = self.snapshot_pose_graph()
+            moved = 0.0
             if snap is not None:
-                # dense only up to 256 nodes: the (6K)^2 f32 Cholesky is
-                # numerically unusable beyond that (measured: 547-node
-                # dense solve exploded the final ATE to 1 km).  The PCG
-                # path closes long loops once cg_iterations scales with K
-                # (block-Jacobi propagates ~1 node/iteration).
                 if snap["T"].shape[0] > 256:
                     from okvis2x_tpu.parallel import dist_posegraph
 
@@ -2810,10 +2910,23 @@ class SlidingWindowEstimator:
                         snap["eT"], snap["eS"], iterations=iterations,
                         dtype=self.cfg.dtype,
                     )
-                if np.all(np.isfinite(np.asarray(T_opt))):
+                T_opt = np.asarray(T_opt)
+                if np.all(np.isfinite(T_opt)):
+                    moved = float(np.max(np.linalg.norm(
+                        T_opt[:, :3] - snap["T"][:, :3], axis=1
+                    )))
                     self.apply_pose_graph_result(snap["fids"], T_opt)
             if stage_cb is not None:
-                stage_cb(f"pg{sweep + 1}")
+                stage_cb(tag)
+            return moved
+
+        for sweep in range(max_sweeps):
+            moved = _pg_stage(f"pg{sweep + 1}")
+            if sweep > 0 and moved < 0.01:
+                # fixpoint: the segment-refreshed odometry no longer moves
+                # the graph — the final polish below already ran as this
+                # sweep's pg stage
+                return cost
 
             # 2. segmented exact BA, 25% overlap, margin-anchored
             step = max(max_nodes * 3 // 4, 1)
@@ -2852,6 +2965,9 @@ class SlidingWindowEstimator:
                 if i1 >= n_nodes:
                     break
                 i0 += step
+        # end on a pose-graph polish: the last segment sweep refreshed the
+        # odometry fill-in; one more graph solve distributes it globally
+        _pg_stage("pg_final")
         return cost
 
     # ------------------------------------------------------------- outputs

@@ -202,3 +202,84 @@ def test_expand_merge_recovers_drift():
     est_m.remove_loopclosure_frame(100)
     assert all(f.fid != 100 for f in est_m.frames)
     assert (est_m.arch_obs_fid == 100).sum() > 20
+
+
+def test_pose_graph_sync_moves_archived_landmarks():
+    """Archived landmark snapshots must move WITH their host keyframe when
+    a pose-graph correction lands (≙ synchroniseRealtimeAndFullGraph
+    transforming landmarks with their host frames,
+    okvis_ceres/src/ViSlamBackend.cpp:1589-1870); hostless ones follow the
+    rigid backlog delta.  Stale arch_lm after a metre-scale loop
+    correction poisons expand_keyframe restores and the segmented
+    final-BA initialisation."""
+    est = make_est()
+    Ta_old = np.array([1.0, 2.0, 0.0, 0, 0, 0, 1.0])
+    est.archive_frames[100] = FrameState(
+        fid=100, timestamp=0.0, T_WS=Ta_old.copy(), sb=np.zeros(9),
+        is_keyframe=True, pose_graph_frame=True,
+    )
+    # landmark hosted by fid 100 (archived observation links it)
+    p_S = np.array([0.5, -0.2, 3.0])  # point fixed in A's body frame
+    hp = np.concatenate(
+        [np.asarray(se3.se3_apply(jnp.asarray(Ta_old), jnp.asarray(p_S))),
+         [1.0]]
+    )
+    est.arch_lm[7] = hp.copy()
+    est.archive_observation(100, 0, 7, np.array([320.0, 240.0]))
+    # hostless landmark: no archived observation anywhere
+    est.arch_lm[8] = np.array([9.0, 9.0, 9.0, 1.0])
+    # anchor window frame, also a snapshot node
+    Tb_old = np.array([2.0, 2.0, 0.0, 0, 0, 0, 1.0])
+    est.frames.append(FrameState(
+        fid=200, timestamp=1.0, T_WS=Tb_old.copy(), sb=np.zeros(9),
+        is_keyframe=True,
+    ))
+
+    Ta_new = np.asarray(se3.retract(
+        jnp.asarray(Ta_old), jnp.asarray([0.3, -0.1, 0.05, 0.0, 0.0, 0.2])
+    ))
+    Tb_new = Tb_old.copy()
+    Tb_new[0] += 0.1
+    ok = est.apply_pose_graph_result([100, 200], np.stack([Ta_new, Tb_new]))
+    assert ok
+    # hosted: rigid in the host frame => T_new * p_S
+    expect = np.asarray(se3.se3_apply(jnp.asarray(Ta_new), jnp.asarray(p_S)))
+    assert np.allclose(est.arch_lm[7][:3], expect, atol=1e-9), est.arch_lm[7]
+    # hostless: anchor delta is a pure +0.1 x-translation
+    assert np.allclose(est.arch_lm[8][:3], [9.1, 9.0, 9.0], atol=1e-9)
+
+
+def test_refresh_loop_edges_uses_window_estimate():
+    """While both endpoints of a loop edge are free, observation-
+    constrained window members, the edge transform is re-derived from the
+    co-windowed BA estimate (the GP3P RANSAC pose it was inserted with is
+    decimetre-class); fixed-pose endpoints block the refresh."""
+    est = make_est()
+    T1 = np.array([1.0, 0.0, 0.0, 0, 0, 0, 1.0])
+    T2 = np.array([1.5, 0.3, 0.0, 0, 0, 0, 1.0])
+    est.frames.append(FrameState(
+        fid=1, timestamp=0.0, T_WS=T1.copy(), sb=np.zeros(9),
+        is_keyframe=True, pose_graph_frame=True, expanded=True,
+    ))
+    est.frames.append(FrameState(
+        fid=2, timestamp=1.0, T_WS=T2.copy(), sb=np.zeros(9),
+        is_keyframe=True,
+    ))
+    est.obs_fid = np.array([1, 2])
+    raw = np.array([9.0, 9.0, 9.0, 0, 0, 0, 1.0])  # bad RANSAC edge
+    est.archive_edges.append(dict(
+        i=1, j=2, T_ij=raw.copy(), sqrt_info=np.eye(6) * 70.0, loop=True,
+    ))
+    assert est.refresh_loop_edges() == 1
+    e = est.archive_edges[-1]
+    expect = np.asarray(se3.se3_multiply(
+        se3.se3_inverse(jnp.asarray(T1)), jnp.asarray(T2)
+    ))
+    assert np.allclose(e["T_ij"][:3], expect[:3], atol=1e-9)
+    assert e.get("refined") is True
+    # fixed endpoint: no refresh
+    est.frames[0].pose_fixed = True
+    e["T_ij"] = raw.copy()
+    e.pop("refined")
+    assert est.refresh_loop_edges() == 0
+    assert np.allclose(e["T_ij"], raw)
