@@ -2009,42 +2009,6 @@ class SlidingWindowEstimator:
         )
         return True
 
-    def refresh_loop_edges(self) -> int:
-        """Re-derive loop-edge transforms from the current window estimate
-        while BOTH endpoints are free, observation-constrained window
-        members.  The edge was inserted with the place-recognition RANSAC
-        pose (decimetre-class, GP3P over a landmark snapshot); once the
-        loop-closure frame is restored into the window, the realtime BA
-        estimates the same relative pose through shared reprojection
-        factors + the IMU chain to sub-cm.  The window problem contains
-        only `rel_edges` (never archived loop edges), so this refresh is
-        measurement-driven, not self-referential.  The refreshed transform
-        is what the background pose-graph and the final BA consume after
-        the frame is released (≙ the reference refining loop constraints
-        inside the realtime window while the LC frame is held,
-        ViSlamBackend.cpp:1418-1530)."""
-        live = {f.fid: f for f in self.frames}
-        n = 0
-        for e in self.archive_edges:
-            if not e.get("loop"):
-                continue
-            fi, fj = live.get(e["i"]), live.get(e["j"])
-            if fi is None or fj is None:
-                continue
-            for f in (fi, fj):
-                if f.pose_fixed or (f.pose_graph_frame and not f.expanded):
-                    break
-            else:
-                if np.any(self.obs_fid == e["i"]) and np.any(
-                    self.obs_fid == e["j"]
-                ):
-                    e["T_ij"] = se3np.se3_multiply(
-                        se3np.se3_inverse(fi.T_WS), fj.T_WS
-                    )
-                    e["refined"] = True
-                    n += 1
-        return n
-
     # ---------------- runtime re-expansion (≙ expandKeyframe/mergeLandmark)
     def _restore_landmark(self, lid: int) -> bool:
         """Bring an archived landmark back into the live store (refused at

@@ -2704,9 +2704,6 @@ class VioPipeline:
         # ≙ applyStrategy retiring loop-closure frames,
         # ViSlamBackend.cpp:555-809.
         if self.lc_frames:
-            # refresh held loop edges from the co-windowed BA estimate
-            # every frame; the last refresh before release wins
-            est.refresh_loop_edges()
             m_cur = est.obs_fid == fid
             cur_lids = np.unique(est.obs_lid[m_cur])
             for old_fid in list(self.lc_frames):

@@ -247,39 +247,3 @@ def test_pose_graph_sync_moves_archived_landmarks():
     assert np.allclose(est.arch_lm[7][:3], expect, atol=1e-9), est.arch_lm[7]
     # hostless: anchor delta is a pure +0.1 x-translation
     assert np.allclose(est.arch_lm[8][:3], [9.1, 9.0, 9.0], atol=1e-9)
-
-
-def test_refresh_loop_edges_uses_window_estimate():
-    """While both endpoints of a loop edge are free, observation-
-    constrained window members, the edge transform is re-derived from the
-    co-windowed BA estimate (the GP3P RANSAC pose it was inserted with is
-    decimetre-class); fixed-pose endpoints block the refresh."""
-    est = make_est()
-    T1 = np.array([1.0, 0.0, 0.0, 0, 0, 0, 1.0])
-    T2 = np.array([1.5, 0.3, 0.0, 0, 0, 0, 1.0])
-    est.frames.append(FrameState(
-        fid=1, timestamp=0.0, T_WS=T1.copy(), sb=np.zeros(9),
-        is_keyframe=True, pose_graph_frame=True, expanded=True,
-    ))
-    est.frames.append(FrameState(
-        fid=2, timestamp=1.0, T_WS=T2.copy(), sb=np.zeros(9),
-        is_keyframe=True,
-    ))
-    est.obs_fid = np.array([1, 2])
-    raw = np.array([9.0, 9.0, 9.0, 0, 0, 0, 1.0])  # bad RANSAC edge
-    est.archive_edges.append(dict(
-        i=1, j=2, T_ij=raw.copy(), sqrt_info=np.eye(6) * 70.0, loop=True,
-    ))
-    assert est.refresh_loop_edges() == 1
-    e = est.archive_edges[-1]
-    expect = np.asarray(se3.se3_multiply(
-        se3.se3_inverse(jnp.asarray(T1)), jnp.asarray(T2)
-    ))
-    assert np.allclose(e["T_ij"][:3], expect[:3], atol=1e-9)
-    assert e.get("refined") is True
-    # fixed endpoint: no refresh
-    est.frames[0].pose_fixed = True
-    e["T_ij"] = raw.copy()
-    e.pop("refined")
-    assert est.refresh_loop_edges() == 0
-    assert np.allclose(e["T_ij"], raw)
