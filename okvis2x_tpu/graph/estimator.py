@@ -2292,11 +2292,30 @@ class SlidingWindowEstimator:
         window = {f.fid: f for f in self.frames}
         T_old_nodes = np.zeros_like(np.asarray(T_opt))
         node_known = np.zeros(len(fids), bool)
-        for k, (fid, Tn) in enumerate(zip(fids, T_opt)):
+        for k, fid in enumerate(fids):
             f = self.archive_frames.get(fid) or window.get(fid)
             if f is not None:
                 T_old_nodes[k] = f.T_WS
                 node_known[k] = True
+        # max-node-movement gate (the anchor gate above only sees the
+        # NEWEST node): a solve can keep the anchor put while scattering
+        # distant history — a diverged/folded solution (measured: a
+        # cost-accepted 533 m fold on the 185 s circuit before pose-graph
+        # edges were robustified).  Legitimate corrections are bounded by
+        # the drift budget (1.35 %/distance), metres at most.
+        if node_known.any():
+            node_move = np.linalg.norm(
+                np.asarray(T_opt)[node_known, :3]
+                - T_old_nodes[node_known, :3], axis=1
+            ).max()
+            if node_move > 8.0:
+                logging.warning(
+                    "pose-graph result rejected: max node movement %.1f m",
+                    node_move)
+                return False
+        for k, (fid, Tn) in enumerate(zip(fids, T_opt)):
+            f = self.archive_frames.get(fid) or window.get(fid)
+            if f is not None:
                 f.T_WS = np.asarray(Tn).copy()
         # archived landmark snapshots move WITH their host keyframes
         # (≙ synchroniseRealtimeAndFullGraph transforming each landmark by

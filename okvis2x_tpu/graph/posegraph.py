@@ -142,7 +142,14 @@ def _solver_fn(iterations: int):
     behind the compile."""
     import jax
 
-    cfg = gn.SolverConfig(max_iterations=iterations, estimate_landmarks=False)
+    from okvis2x_tpu.factors import robust
+
+    # HUBER on the edges: the pose graph mixes marginalisation odometry,
+    # RANSAC loop constraints and synthesized fill-ins — one inconsistent
+    # high-information edge must not be able to fold the whole graph
+    # through cost-decreasing LM steps (see SolverConfig.rel_loss)
+    cfg = gn.SolverConfig(max_iterations=iterations, estimate_landmarks=False,
+                          rel_loss=robust.HUBER, rel_loss_scale=10.0)
     return jax.jit(lambda p, cams: gn.optimize(p, cams, cfg))
 
 

@@ -99,9 +99,20 @@ def _pcg(hvp, b, Minv, n_iter: int):
 
 
 def _core(T, fixed, ei, ej, eT, eS, evalid, *, iterations, cg_iterations,
-          init_lambda, lambda_up, lambda_down, axis: Optional[str]):
+          init_lambda, lambda_up, lambda_down, loss_scale,
+          axis: Optional[str]):
     """One LM pose-graph solve; edge arrays may be a local shard (axis set)
-    or the full edge set (axis None)."""
+    or the full edge set (axis None).
+
+    Edges are HUBER-robustified (IRLS, scale `loss_scale` in whitened
+    units; ≙ the reference robustifying TwoPoseGraphError,
+    okvis_ceres/src/TwoPoseGraphError.cpp:282-340): with an unbounded
+    quadratic, one inconsistent high-information edge can make a folded
+    configuration cheaper than the true shape — measured as a 408-node
+    final pose graph walking to 533 m ATE through monotone cost-DEcreasing
+    LM steps on the 185 s circuit."""
+    from okvis2x_tpu.factors import robust
+
     dtype = T.dtype
     K = T.shape[0]
     allred = (lambda x: jax.lax.psum(x, axis)) if axis else (lambda x: x)
@@ -111,13 +122,20 @@ def _core(T, fixed, ei, ej, eT, eS, evalid, *, iterations, cg_iterations,
 
     def cost_of(Tc):
         r = _residual_only(Tc, ei, ej, eT, eS) * ev
-        return allred(0.5 * jnp.sum(r * r))
+        s = jnp.sum(r * r, axis=-1)
+        return allred(0.5 * jnp.sum(robust.rho(robust.HUBER, s, loss_scale)))
 
     def step(Tc, lam, cost):
         r, Ji, Jj = _linearize(Tc, ei, ej, eT, eS, free)
         r = r * ev
         Ji = Ji * ev[..., None]
         Jj = Jj * ev[..., None]
+        sw = jnp.sqrt(robust.weight(
+            robust.HUBER, jnp.sum(r * r, axis=-1), loss_scale
+        ))
+        r = r * sw[:, None]
+        Ji = Ji * sw[:, None, None]
+        Jj = Jj * sw[:, None, None]
         # gradient: b = -J^T r scattered onto poses
         bi = jnp.einsum("eri,er->ei", Ji, r)
         bj = jnp.einsum("eri,er->ei", Jj, r)
@@ -180,6 +198,7 @@ def optimize_pose_graph_pcg(
     init_lambda: float = 1e-6,
     lambda_up: float = 10.0,
     lambda_down: float = 0.3,
+    loss_scale: float = 10.0,
 ) -> Tuple[np.ndarray, float]:
     """Scalable pose-graph GN/LM: returns optimised (K, 7) poses + cost.
 
@@ -248,6 +267,7 @@ def optimize_pose_graph_pcg(
         init_lambda=init_lambda,
         lambda_up=lambda_up,
         lambda_down=lambda_down,
+        loss_scale=loss_scale,
     )
     args = (
         jnp.asarray(T_WS, dtype),

@@ -107,6 +107,15 @@ class SolverConfig(NamedTuple):
     # the estimator on an accuracy cliff, round-4 notes).
     early_exit_rel: float = 0.0
     early_min_iterations: int = 2
+    # Robust loss on relative-pose (pose-graph) edges — the pose-graph
+    # solvers set HUBER (≙ the reference robustifying TwoPoseGraphError /
+    # loop-closure constraints, okvis_ceres/src/TwoPoseGraphError.cpp:282),
+    # bounding the damage one inconsistent high-information edge can do
+    # (measured: an unbounded quadratic let a 408-node final pose graph
+    # fold to 533 m ATE through monotone cost-DEcreasing LM steps).  The
+    # realtime window keeps NONE: its rel edges are marginalisation priors.
+    rel_loss: str = robust.NONE
+    rel_loss_scale: float = 10.0  # whitened units
 
 
 # ---------------------------------------------------------------------------
@@ -404,13 +413,20 @@ def _icp_enabled(p: BAProblem, cfg: SolverConfig) -> bool:
     )
 
 
-def _linearize_rel(p: BAProblem):
-    """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows."""
+def _linearize_rel(p: BAProblem, cfg: SolverConfig = SolverConfig()):
+    """Relative-pose (pose-graph / marginalisation / extrinsics-link) rows;
+    IRLS-robustified per `cfg.rel_loss` (NONE in the realtime window)."""
 
     def one(i, j, Trel, si):
         return rel_residual_jacobians(p.T_WS[i], p.T_WS[j], Trel, si)
 
     r, Ji, Jj = jax.vmap(one)(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+    if cfg.rel_loss != robust.NONE:
+        s = jnp.sum(r * r, axis=-1)
+        sw = jnp.sqrt(robust.weight(cfg.rel_loss, s, cfg.rel_loss_scale))
+        r = r * sw[:, None]
+        Ji = Ji * sw[:, None, None]
+        Jj = Jj * sw[:, None, None]
     Jrow = _frame_rows(
         p, [(_pad15(Ji, 0), p.rel_i), (_pad15(Jj, 0), p.rel_j)]
     )
@@ -501,7 +517,7 @@ def linearize(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> Lineariz
     if p.imu_i.shape[0]:
         fams.append(_linearize_imu(p, cfg))
     if p.rel_i.shape[0]:
-        fams.append(_linearize_rel(p))
+        fams.append(_linearize_rel(p, cfg))
     if p.gps_frame.shape[0]:
         fams.append(_linearize_gps(p, cfg))
     if cfg.use_ext_priors:
@@ -586,8 +602,9 @@ def compute_cost(p: BAProblem, cams: StackedCameras, cfg: SolverConfig) -> jax.A
                 Tr, p.T_WS[i], p.T_WS[j], si
             )
         )(p.rel_i, p.rel_j, p.rel_T, p.rel_sqrt_info)
+        s_r = jnp.sum(r_r * r_r, axis=-1) * p.rel_valid.astype(dtype)
         cost = cost + 0.5 * jnp.sum(
-            (r_r * p.rel_valid.astype(dtype)[:, None]) ** 2
+            robust.rho(cfg.rel_loss, s_r, cfg.rel_loss_scale)
         )
 
     if p.gps_frame.shape[0]:
