@@ -128,6 +128,8 @@ class FrameState:
     # pose-graph frame whose observations were re-expanded into the window
     # (≙ expandKeyframe) — pose optimises again, still no IMU chain
     expanded: bool = False
+    # pose at loop-closure restore time (sanity anchor for re-archival)
+    pre_hold_T: object = None
 
 
 class SlidingWindowEstimator:
@@ -922,6 +924,27 @@ class SlidingWindowEstimator:
             sb_prior[s] = self.prior_sb
             sb_prior_si[s] = self.prior_sb_sqrt_info
             sb_prior_valid[s] = True
+        # weak damping prior on every expanded pose-graph (loop-closure)
+        # frame, anchored at its CURRENT estimate each assembly: these
+        # frames carry no IMU chain and only restored observations, and
+        # when merges/outlier cuts leave one under-constrained the robust
+        # reprojection loss makes scattering it nearly cost-free — the
+        # solver then parks it hundreds of metres out, and re-archival
+        # bakes the garbage pose into the long-term graph (measured: 15
+        # scattered nodes at up to 1394 m poisoned every later background
+        # snapshot on the 185 s circuit).  sigma 10 m / 3 rad: for a
+        # frame with NO effective constraints the solve just keeps it at
+        # the anchor (any nonzero stiffness does), while for constrained
+        # frames the prior is orders below the observation information so
+        # refinement converges through it
+        # (test_expand_merge_recovers_drift measures drift recovery).
+        damp_si = np.diag([0.1, 0.1, 0.1, 0.3, 0.3, 0.3])
+        for sl, fr in enumerate(self.frames):
+            if (fr.pose_graph_frame and fr.expanded and not fr.pose_fixed
+                    and not pose_prior_valid[sl]):
+                pose_prior_T[sl] = fr.T_WS
+                pose_prior_si[sl] = damp_si
+                pose_prior_valid[sl] = True
 
         # relative pose edges (weakest dropped beyond capacity)
         Rcap = cfg.cap_rel_edges
@@ -2101,6 +2124,7 @@ class SlidingWindowEstimator:
         f = self.archive_frames.pop(fid, None)
         if f is None:
             return False
+        f.pre_hold_T = f.T_WS.copy()
         # capacity headroom: the frame joins a window that may already sit
         # at cap (marginalise only trims at frame boundaries) — archive
         # the oldest unprotected pose-graph frame first, refuse if none
@@ -2157,6 +2181,20 @@ class SlidingWindowEstimator:
         self.obs_uid = self.obs_uid[keep]
         f.expanded = False
         f.pose_fixed = True
+        if f.pre_hold_T is not None:
+            moved = float(np.linalg.norm(f.T_WS[:3] - f.pre_hold_T[:3]))
+            if moved > 8.0:
+                # the held frame scattered inside the window (see the
+                # damping-prior comment in the assembly): re-archiving the
+                # garbage pose would poison every later pose-graph
+                # snapshot through high-confidence odometry fill-ins —
+                # restore the pre-hold estimate instead (legitimate
+                # corrections are drift-budget-bounded, metres at most)
+                logging.warning(
+                    "loop-closure frame %d re-archived with pre-hold pose:"
+                    " window moved it %.1f m", fid, moved)
+                f.T_WS = f.pre_hold_T.copy()
+            f.pre_hold_T = None
         self.frames.remove(f)
         self.archive_frames[fid] = f
         self.lc_protected.discard(fid)
@@ -2214,8 +2252,11 @@ class SlidingWindowEstimator:
                 T_ij = se3np.se3_multiply(
                     se3np.se3_inverse(a.T_WS), b.T_WS
                 )
+                # implausibly long consecutive steps (a corrupted node
+                # pose) must not become high-confidence odometry
+                w = 50.0 if np.linalg.norm(T_ij[:3]) < 10.0 else 1.0
                 all_edges.append(
-                    dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * 50.0)
+                    dict(i=a.fid, j=b.fid, T_ij=T_ij, sqrt_info=np.eye(6) * w)
                 )
 
         K = len(nodes)
