@@ -942,7 +942,13 @@ class SlidingWindowEstimator:
         for sl, fr in enumerate(self.frames):
             if (fr.pose_graph_frame and fr.expanded and not fr.pose_fixed
                     and not pose_prior_valid[sl]):
-                pose_prior_T[sl] = fr.T_WS
+                # FIXED anchor (pre-hold pose, moved only by applied
+                # corrections): re-anchoring at the current estimate each
+                # assembly lets the pose random-walk metres per solve with
+                # no restoring force (measured: 143 m over one hold span)
+                anchor = (fr.pre_hold_T if fr.pre_hold_T is not None
+                          else fr.T_WS)
+                pose_prior_T[sl] = anchor
                 pose_prior_si[sl] = damp_si
                 pose_prior_valid[sl] = True
 
@@ -1220,13 +1226,25 @@ class SlidingWindowEstimator:
             self._jit_cache[key] = jax.jit(fused_gated)
         return self._jit_cache[key]
 
+    def _clamp_held(self, fr, T_new):
+        """Writeback guard for held loop-closure frames: a solve result
+        outside the pre-hold anchor's trust region is scatter (an
+        under-constrained pose walked by the robust loss), not a
+        correction — keep the anchor (see the damping-prior comment in
+        the assembly)."""
+        if fr.pre_hold_T is not None and np.linalg.norm(
+            np.asarray(T_new)[:3] - fr.pre_hold_T[:3]
+        ) > 8.0:
+            return np.asarray(fr.pre_hold_T, np.float64).copy()
+        return T_new
+
     def _writeback(self, p_opt, fid2slot):
         T = np.asarray(p_opt.T_WS)
         sb = np.asarray(p_opt.sb)
         hp = np.asarray(p_opt.hp_W)
         for f, slot in fid2slot.items():
             fr = self._frame_by_id(f)
-            fr.T_WS = T[slot]
+            fr.T_WS = self._clamp_held(fr, T[slot])
             fr.sb = sb[slot]
         nl = len(self.lm_ids)
         self.hp_W = hp[:nl]
@@ -1468,7 +1486,7 @@ class SlidingWindowEstimator:
                 if f not in live:
                     continue
                 fr = self._frame_by_id(f)
-                fr.T_WS = T[slot].astype(np.float64)
+                fr.T_WS = self._clamp_held(fr, T[slot].astype(np.float64))
                 fr.sb = sb[slot].astype(np.float64)
             # landmark writeback BY ID: rows map through the dispatch-time
             # lid snapshot, so landmarks pruned/compacted between dispatch
@@ -2358,6 +2376,8 @@ class SlidingWindowEstimator:
             f = self.archive_frames.get(fid) or window.get(fid)
             if f is not None:
                 f.T_WS = np.asarray(Tn).copy()
+                if f.pre_hold_T is not None:
+                    f.pre_hold_T = np.asarray(Tn).copy()
         # archived landmark snapshots move WITH their host keyframes
         # (≙ synchroniseRealtimeAndFullGraph transforming each landmark by
         # its host frame's correction, ViSlamBackend.cpp:1589-1870).
@@ -2434,6 +2454,8 @@ class SlidingWindowEstimator:
             if session_only and f.fid < 0:
                 continue
             f.T_WS = se3np.se3_multiply(dT_n, f.T_WS)
+            if f.pre_hold_T is not None:
+                f.pre_hold_T = se3np.se3_multiply(dT_n, f.pre_hold_T)
             f.sb = np.concatenate([dR @ f.sb[0:3], f.sb[3:9]])
         if len(self.hp_W):
             self.hp_W = se3np.se3_apply_homogeneous(dT_n, self.hp_W)
