@@ -69,15 +69,19 @@ def test_circuit_loop_closures(circuit_result):
 @pytest.mark.slow
 def test_circuit_ate_operating_point(circuit_result):
     # drift bounds over the ~370 m / 185 s / 4-lap circuit, f32 on-device.
-    # Measured operating point (PROOF_r04.json, session TPU): online 1.26 m
-    # (the online log keeps each frame's as-estimated pose — historical
-    # drift before a closure is never rewritten), final 0.17 m after the
-    # global pose graph + segmented BA (0.05% of path).  The bounds leave
-    # ~2x headroom over the recorded run; the 65 s single-revisit window
-    # (bench.py) holds 0.05 m after final BA.
+    # Measured operating point (PROOF_r05.json, clean session TPU runs):
+    # online 0.28-0.32 m (the online log keeps each frame's as-estimated
+    # pose — historical drift before a closure is never rewritten), final
+    # 0.17-0.18 m after the fixpoint pose-graph/segment final BA (0.05% of
+    # path).  Round 4 recorded online 1.26 m; the round-5 archived-landmark
+    # correction + scatter guards brought it to 0.31 m.  The bounds leave
+    # ~3x headroom for host contention (async correction timing degrades
+    # online ATE when the frame loop is starved — measured 0.79 m with a
+    # concurrent CPU-bound job); the 65 s single-revisit window (bench.py)
+    # holds 0.09 m online / 0.04 m final.
     ate_online = circuit_result["ate_online_m"]
     ate_final = circuit_result["ate_final_m"]
-    assert ate_online <= 2.5, circuit_result
-    assert ate_final <= 0.35, circuit_result
+    assert ate_online <= 1.0, circuit_result
+    assert ate_final <= 0.30, circuit_result
     # final BA + loop closures must improve on the online trajectory
     assert ate_final <= ate_online, circuit_result
