@@ -298,8 +298,13 @@ def main():
                     d, s = main._fuse_jit(
                         jnp.asarray(images[0]), jnp.asarray(images[1]),
                         srcs, jnp.asarray(T_rs, jnp.float32))
+                    kf_fid = info.get("keyframe_fid") or info["fid"]
+                    try:
+                        T_WK = pipe.est.get_state(kf_fid).T_WS
+                    except (KeyError, StopIteration):
+                        T_WK = info["T_WS"]
                     submapper.integrate_depth(
-                        info["fid"], info["T_WS"], T_WC, cameras[0],
+                        kf_fid, T_WK, T_WC, cameras[0],
                         np.asarray(d), np.asarray(s),
                     )
                 hist.append((np.asarray(images[0]), T_WC))
@@ -336,8 +341,13 @@ def main():
                     col_img = np.asarray(images[0], np.float32)
                     if col_img.max() > 1.5:
                         col_img = col_img / 255.0
+                kf_fid = info.get("keyframe_fid") or info["fid"]
+                try:
+                    T_WK = pipe.est.get_state(kf_fid).T_WS
+                except (KeyError, StopIteration):
+                    T_WK = T_WS
                 submapper.integrate_depth(
-                    info["fid"], T_WS, T_WC, cameras[0],
+                    kf_fid, T_WK, T_WC, cameras[0],
                     np.asarray(sd.depth), np.asarray(sd.sigma),
                     colour=col_img,
                 )

@@ -1421,6 +1421,11 @@ class VioPipeline:
         self._last_quality = self._tracking_quality(frame_data)
         is_kf = self.need_keyframe(frame_data)
         est.set_keyframe(fid, is_kf)
+        # keyframe decisions are made HERE, one call after the frame
+        # entered (deferred frontend): surface the event through the NEXT
+        # info dict so keyframe consumers (submapping, rgbd/depth modes,
+        # ROS2 publishers) still fire in deferred mode
+        self._kf_event = (fid, is_kf)
         if is_kf:
             self.last_kf_fid = fid
         if front["depth_images"] is not None:
@@ -1546,8 +1551,16 @@ class VioPipeline:
         if self._tracks_csv and fid in self.frames:
             self._write_tracks_csv(t, self.frames[fid])
         n_map, n_stereo, n_motion = self._last_counts
+        kf_fid, kf_flag = getattr(self, "_kf_event", (None, False))
+        self._kf_event = (None, False)
         return dict(
-            fid=fid, is_keyframe=False, n_map=n_map, n_stereo=n_stereo,
+            # the keyframe decision surfaced here is the one made during
+            # this call's CONSUME step — it applies to `keyframe_fid`
+            # (the previous frame), not `fid`; keyframe consumers must
+            # read keyframe_fid + that frame's pose
+            fid=fid, is_keyframe=bool(kf_flag),
+            keyframe_fid=kf_fid if kf_flag else None,
+            n_map=n_map, n_stereo=n_stereo,
             n_motion=n_motion, T_WS=f.T_WS.copy(), loop_closure=False,
             tracking_quality=self._last_quality,
             budget_overrun=budget_overrun,
@@ -2799,7 +2812,9 @@ class VioPipeline:
         if self._tracks_csv:
             self._write_tracks_csv(t, frame_data)
         return dict(
-            fid=fid, is_keyframe=is_kf, n_map=n_map,
+            fid=fid, is_keyframe=is_kf,
+            keyframe_fid=fid if is_kf else None,
+            n_map=n_map,
             n_stereo=n_stereo, n_motion=n_motion, T_WS=f.T_WS.copy(),
             loop_closure=looped, tracking_quality=quality,
         )

@@ -146,12 +146,21 @@ def run(duration=150.0, dropout=(55.0, 85.0), verbose=True, max_frames=0):
                 (round(data.t - t_first, 2), vio.est.gps_status))
             last_status = vio.est.gps_status
         if info["is_keyframe"] and len(images) >= 2:
+            # deferred frontend: the keyframe decision applies to
+            # info["keyframe_fid"] (one frame back); the submap anchors on
+            # that keyframe while the splat uses THIS frame's consistent
+            # image+pose pair
+            kf_fid = info.get("keyframe_fid") or info["fid"]
+            try:
+                T_WK = vio.est.get_state(kf_fid).T_WS
+            except (KeyError, StopIteration):
+                T_WK = info["T_WS"]
             sd = stereo_j(jnp.asarray(images[0], jnp.float32),
                           jnp.asarray(images[1], jnp.float32))
             T_WC = np.asarray(se3.se3_multiply(
                 jnp.asarray(info["T_WS"]), jnp.asarray(T_SC[0])))
             submapper.integrate_depth(
-                info["fid"], info["T_WS"], T_WC, cam,
+                kf_fid, T_WK, T_WC, cam,
                 np.asarray(sd.depth), np.asarray(sd.sigma),
             )
         if verbose and n % 200 == 0:
